@@ -1,0 +1,84 @@
+"""Superstep checkpointing with resume (north_rule requirement).
+
+Every iterative kernel writes its state DataFrame to
+``<dir>/iter=NNNN/`` (Parquet, atomic via Spark's _SUCCESS marker) plus a
+``counters.json`` sidecar recording per-iteration metrics (rows, delta,
+wall time, partition count).  ``latest()`` finds the newest COMPLETE
+iteration so a killed run resumes mid-iteration with exact state — the
+Spark-native substitute for the reference's single-process in-memory
+loop (motive has no resume; DiskDGraph README.md:69-83 is its closest
+analogue: state that survives the heap).
+
+Writing parquet (not ``localCheckpoint``) both truncates lineage — the
+iterated self-join plan would otherwise grow without bound — and makes
+the state durable across driver restarts, which localCheckpoint is not.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CheckpointManager:
+    spark: SparkSession
+    base_dir: str | None
+    counters: list[dict] = field(default_factory=list)
+
+    def _iter_dir(self, i: int) -> str:
+        return os.path.join(self.base_dir, f"iter={i:04d}")
+
+    def _complete(self, i: int) -> bool:
+        return os.path.exists(os.path.join(self._iter_dir(i), "_SUCCESS"))
+
+    def latest(self) -> int | None:
+        """Newest complete iteration number, or None."""
+        if self.base_dir is None or not os.path.isdir(self.base_dir):
+            return None
+        its = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.base_dir)
+            if d.startswith("iter=") and self._complete(int(d.split("=")[1]))
+        )
+        return its[-1] if its else None
+
+    def save(self, df: DataFrame, iteration: int, **metrics) -> DataFrame:
+        """Write state for ``iteration``; return the re-read (lineage-free)
+        DataFrame.  When no base_dir is configured, fall back to
+        localCheckpoint (tests / ephemeral runs)."""
+        t0 = time.time()
+        if self.base_dir is None:
+            out = df.localCheckpoint(eager=True)
+            n = out.count()
+        else:
+            path = self._iter_dir(iteration)
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            n = out.count()
+        rec = {
+            "iteration": iteration,
+            "rows": n,
+            "partitions": out.rdd.getNumPartitions(),
+            "write_sec": round(time.time() - t0, 3),
+            **metrics,
+        }
+        self.counters.append(rec)
+        if self.base_dir is not None:
+            with open(os.path.join(self.base_dir, "counters.json"), "w") as f:
+                json.dump(self.counters, f, indent=1)
+        return out
+
+    def load(self, iteration: int) -> DataFrame:
+        return self.spark.read.parquet(self._iter_dir(iteration))
+
+    def load_counters(self) -> list[dict]:
+        p = os.path.join(self.base_dir, "counters.json")
+        if self.base_dir and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return []

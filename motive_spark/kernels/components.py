@@ -1,0 +1,120 @@
+"""Connected components via hash-min label exchange (north_rule kernel).
+
+Each vertex holds a component label (init: own id); every superstep each
+vertex takes the min of its own label and its neighbors' labels; stop
+when no label changes.  Exact at convergence (north_rule: "components
+exact").
+
+Scale notes:
+  * convergence is bounded by graph diameter with plain neighbor-min;
+    ``big_star`` mode adds the large-star shortcut (propagate the min
+    label to ALL current members of the label's group, not just direct
+    neighbors — one extra join per round) which drops rounds to
+    O(log n) on high-diameter graphs (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature);
+  * the symmetrized edge table is partitioned once on src and cached;
+    labels (1 row/vertex) are the only per-round shuffle;
+  * per-superstep Parquet checkpoint → resume + lineage truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from motive_spark.checkpoint import CheckpointManager
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 100,
+    fixed_iters: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    big_star: bool = True,
+) -> DataFrame:
+    """Returns (id, component) — component = min vertex id reachable.
+
+    ``edges`` is treated as undirected.  ``fixed_iters`` runs exactly
+    that many supersteps without a convergence check (oracle mode).
+    """
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(npart, "src")
+        .cache()
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+    labels = verts.select("id", F.col("id").alias("component"))
+    start = 0
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest()
+        if last is not None:
+            labels = ckpt.load(last)
+            start = last + 1
+
+    n_rounds = fixed_iters if fixed_iters is not None else max_iter
+    for i in range(start, n_rounds):
+        # neighbor-min: min label over {self} ∪ N(v)
+        nbr_min = (
+            sym.join(labels, on=[sym.dst == labels.id])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if big_star:
+            # large-star shortcut: everyone in a label group jumps to the
+            # group's current min — collapses chains exponentially.
+            grp_min = new_labels.groupBy(F.col("component").alias("c")).agg(
+                F.min("component").alias("gmin")
+            )
+            # map each vertex's label through label->min(label of members' labels)
+            relabel = (
+                new_labels.alias("l")
+                .join(
+                    new_labels.select(
+                        F.col("id").alias("rep"), F.col("component").alias("rep_c")
+                    ).alias("r"),
+                    F.col("l.component") == F.col("r.rep"),
+                    "left",
+                )
+                .select(
+                    F.col("l.id").alias("id"),
+                    F.least(
+                        F.col("l.component"),
+                        F.coalesce(F.col("r.rep_c"), F.col("l.component")),
+                    ).alias("component"),
+                )
+            )
+            new_labels = relabel
+        new_labels = ckpt.save(new_labels.repartition(npart, "id"), i)
+        if fixed_iters is None:
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "old"), on="id"
+                )
+                .where(F.col("component") != F.col("old"))
+                .count()
+            )
+            ckpt.counters[-1]["changed"] = changed
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels.select("id", "component")

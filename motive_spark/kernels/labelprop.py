@@ -1,0 +1,73 @@
+"""Synchronous label propagation (north_rule kernel).
+
+Each vertex starts labeled with its own id; every superstep it adopts
+its neighbors' most frequent label, ties broken by smallest label —
+fully deterministic, so a fixed-round run is exactly reproducible (and
+ANSI-SQL expressible for the DuckDB oracle).
+
+Gather-scatter shape identical to PageRank: labels ⋈ edges on one side,
+groupBy the other, argmax via a single struct-max aggregation (no window
+over a big partition).  Edge table partitioned once and cached; labels
+are the only per-round shuffle; Parquet checkpoint per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from motive_spark.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns (id, label) after exactly ``iters`` synchronous rounds.
+
+    ``edges`` is treated as undirected.
+    """
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(npart, "src")
+        .cache()
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+
+    ckpt = CheckpointManager(spark, checkpoint_dir)
+    labels = verts.select("id", F.col("id").alias("label"))
+    start = 0
+    if resume and checkpoint_dir is not None:
+        last = ckpt.latest()
+        if last is not None:
+            labels = ckpt.load(last)
+            start = last + 1
+
+    for i in range(start, iters):
+        votes = (
+            sym.join(labels, on=[sym.dst == labels.id])
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (cnt desc, label asc): max of struct(cnt, -label)
+        new_labels = (
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select("id", (-F.col("top.neg")).alias("label"))
+        )
+        # isolated vertices (none in a sym graph, but keep semantics total)
+        new_labels = (
+            verts.join(new_labels, on="id", how="left")
+            .join(labels.withColumnRenamed("label", "old"), on="id")
+            .select("id", F.coalesce("label", "old").alias("label"))
+        )
+        labels = ckpt.save(new_labels.repartition(npart, "id"), i)
+    return labels.select("id", "label")

@@ -1,0 +1,142 @@
+"""Kernel correctness vs pure-python oracles (SURVEY §5 test plan (a)).
+
+PageRank allclose(1e-6) against reference power iteration; components /
+labels / triangles exact — the north_rule correctness gates.
+"""
+
+import math
+import random
+
+import pytest
+
+from tests.conftest import (
+    edges_df,
+    py_components,
+    py_pagerank,
+    py_triangles,
+)
+
+FIXTURE_TRI_HUB = [
+    # 13-node "4 triangles + hub" graph, shape borrowed from the reference's
+    # structural fixture (motive UPlainMotifExtractorTest.java:23-82).
+    (0, 1), (1, 2), (2, 0),
+    (3, 4), (4, 5), (5, 3),
+    (6, 7), (7, 8), (8, 6),
+    (9, 10), (10, 11), (11, 9),
+    (12, 0), (12, 3), (12, 6), (12, 9),
+]
+
+TWO_COMPONENTS = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 3)]
+
+
+def random_pairs(n, m, seed, directed=True):
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        if not directed:
+            a, b = min(a, b), max(a, b)
+        pairs.add((a, b))
+    return sorted(pairs)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_pagerank_matches_power_iteration(spark, seed):
+    pairs = random_pairs(40, 160, seed)
+    from motive_spark.kernels import pagerank
+
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges_df(spark, pairs), max_iter=60, tol=1e-10).collect()
+    }
+    want = py_pagerank(pairs, max_iter=200, tol=1e-12)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
+def test_pagerank_dangling_nodes(spark):
+    # chain with a sink: 0->1->2, plus 3->2 ; 2 is dangling
+    pairs = [(0, 1), (1, 2), (3, 2)]
+    from motive_spark.kernels import pagerank
+
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges_df(spark, pairs), max_iter=80, tol=1e-12).collect()
+    }
+    want = py_pagerank(pairs, max_iter=500, tol=1e-14)
+    for v in want:
+        assert math.isclose(got[v], want[v], abs_tol=1e-6)
+
+
+@pytest.mark.parametrize("pairs", [TWO_COMPONENTS, FIXTURE_TRI_HUB])
+def test_components_exact(spark, pairs):
+    from motive_spark.kernels import connected_components
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, pairs)).collect()
+    }
+    assert got == py_components(pairs)
+
+
+def test_components_long_chain(spark):
+    # path graph: worst case for plain min-propagation; big_star must
+    # converge in far fewer rounds than the diameter (63)
+    pairs = [(i, i + 1) for i in range(63)]
+    from motive_spark.kernels import connected_components
+
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, pairs), max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+@pytest.mark.parametrize("pairs,expected_total", [(FIXTURE_TRI_HUB, 4)])
+def test_triangles_fixture(spark, pairs, expected_total):
+    from motive_spark.kernels import triangle_count, triangles_per_vertex
+
+    assert triangle_count(edges_df(spark, pairs)).collect()[0][0] == expected_total
+    per = {
+        r["id"]: r["n_triangles"]
+        for r in triangles_per_vertex(edges_df(spark, pairs)).collect()
+    }
+    want_total, want_per = py_triangles(pairs)
+    for v in per:
+        assert per[v] == want_per.get(v, 0)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangles_random(spark, seed):
+    pairs = random_pairs(30, 120, seed, directed=False)
+    from motive_spark.kernels import triangle_count, triangles_per_vertex
+
+    want_total, want_per = py_triangles(pairs)
+    assert triangle_count(edges_df(spark, pairs)).collect()[0][0] == want_total
+    per = {
+        r["id"]: r["n_triangles"]
+        for r in triangles_per_vertex(edges_df(spark, pairs)).collect()
+    }
+    assert per == {v: want_per.get(v, 0) for v in per}
+    # orientation invariance: id-order vs degree-order identical
+    assert (
+        triangle_count(edges_df(spark, pairs), by_degree=False).collect()[0][0]
+        == want_total
+    )
+
+
+def test_label_propagation_deterministic(spark):
+    from motive_spark.kernels import label_propagation
+
+    pairs = FIXTURE_TRI_HUB
+    a = {r["id"]: r["label"] for r in label_propagation(edges_df(spark, pairs), iters=4).collect()}
+    b = {r["id"]: r["label"] for r in label_propagation(edges_df(spark, pairs), iters=4).collect()}
+    assert a == b
+    # triangle {0,1,2}: after round 1 every member holds the min label 0
+    clique = [(0, 1), (0, 2), (1, 2)]
+    one = {r["id"]: r["label"] for r in label_propagation(edges_df(spark, clique), iters=2).collect()}
+    assert one == {0: 0, 1: 0, 2: 0}
