@@ -63,8 +63,9 @@ def connected_components(
     n_rounds = fixed_iters if fixed_iters is not None else max_iter
     for i in range(start, n_rounds):
         # neighbor-min: min label over {self} ∪ N(v)
+        # broadcast the label side — the edge table never moves (100-TB side)
         nbr_min = (
-            sym.join(labels, on=[sym.dst == labels.id])
+            sym.join(F.broadcast(labels), on=[sym.dst == labels.id])
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -77,18 +78,20 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        pre_jump = None
         if big_star:
-            # large-star shortcut: everyone in a label group jumps to the
-            # group's current min — collapses chains exponentially.
-            grp_min = new_labels.groupBy(F.col("component").alias("c")).agg(
-                F.min("component").alias("gmin")
-            )
-            # map each vertex's label through label->min(label of members' labels)
-            relabel = (
+            # pointer-jumping shortcut: label(v) <- label(label(v)) —
+            # collapses label chains exponentially, so rounds ~ O(log
+            # diameter) instead of O(diameter).  Cache first: the jump is a
+            # self-join and must not recompute the neighbor-min pass twice.
+            new_labels = pre_jump = new_labels.cache()
+            new_labels = (
                 new_labels.alias("l")
                 .join(
-                    new_labels.select(
-                        F.col("id").alias("rep"), F.col("component").alias("rep_c")
+                    F.broadcast(
+                        new_labels.select(
+                            F.col("id").alias("rep"), F.col("component").alias("rep_c")
+                        )
                     ).alias("r"),
                     F.col("l.component") == F.col("r.rep"),
                     "left",
@@ -101,20 +104,22 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-            new_labels = relabel
-        new_labels = ckpt.save(new_labels.repartition(npart, "id"), i)
+        # carry the previous label so the convergence check reads the same
+        # cached pass — no second join job per round
+        new_labels = new_labels.join(
+            F.broadcast(labels.select("id", F.col("component").alias("old"))),
+            on="id",
+        )
+        new_labels = ckpt.save(new_labels, i)
+        if pre_jump is not None:
+            pre_jump.unpersist()
         if fixed_iters is None:
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "old"), on="id"
-                )
-                .where(F.col("component") != F.col("old"))
-                .count()
-            )
+            changed = new_labels.where(F.col("component") != F.col("old")).count()
             ckpt.counters[-1]["changed"] = changed
-            labels = new_labels
+            labels = new_labels.select("id", "component")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.select("id", "component")
+    sym.unpersist()
     return labels.select("id", "component")

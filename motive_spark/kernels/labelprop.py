@@ -52,8 +52,9 @@ def label_propagation(
             start = last + 1
 
     for i in range(start, iters):
+        # broadcast the label side — the edge table never moves (100-TB side)
         votes = (
-            sym.join(labels, on=[sym.dst == labels.id])
+            sym.join(F.broadcast(labels), on=[sym.dst == labels.id])
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -70,4 +71,5 @@ def label_propagation(
             .select("id", F.coalesce("label", "old").alias("label"))
         )
         labels = ckpt.save(new_labels.repartition(npart, "id"), i)
+    sym.unpersist()
     return labels.select("id", "label")

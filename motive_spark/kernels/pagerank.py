@@ -9,15 +9,27 @@ where dangling = sum of r(u) over vertices with outdeg 0.  This matches
 networkx.pagerank's per-iteration update, so per-vertex scores converge
 allclose(1e-6) against the reference power iteration (BASELINE.json).
 
-Scale design:
-  * edges are hash-partitioned once on ``src`` and cached — every
-    superstep's join reuses that exchange (stable partitioner, SURVEY §4.3);
-  * the contribution join shuffles ranks (small: one row per vertex),
-    never the edge table;
-  * map-side partial aggregation handles moderate in-degree skew, AQE
-    skew-join splitting handles the rest; for extreme hubs the CSR path
-    (motive_spark.graph.csr) salts the gather;
-  * each superstep checkpoints to Parquet → lineage truncation + resume.
+Two physical strategies, chosen by |V| (``strategy="auto"``):
+
+* ``broadcast`` (|V| small): ranks broadcast against the stationary edge
+  table — zero edge movement, one hash-relation build per superstep.
+  The explicit hint matters: without it Spark happily broadcasts a
+  small-SF *edge* table instead, rebuilding a multi-million-entry hash
+  relation every superstep (measured 5x slower at sf0.1).
+* ``copartition`` (|V| large): edges are hash-partitioned once on src
+  and cached with out_deg attached; every superstep shuffle-hash-joins
+  the (small) rank table against them — the edge table NEVER moves, only
+  ranks shuffle.  Broadcast would serialize on building a giant hash
+  relation (measured: negative scaling at |V|=1M).
+
+Both paths truncate lineage every superstep (Parquet when a checkpoint
+dir is given — resumable mid-iteration per north_rule — else
+localCheckpoint; letting the iterated-join plan grow makes Catalyst
+analysis explode superlinearly: 2s/superstep at iter 2 → 140s at iter 8).
+
+At 1000-executor scale the remaining bottleneck is the gather shuffle
+(volume grows with partition fan-out); the CSR/2D-partitioned gather in
+motive_spark.graph.csr is the planned mitigation.
 """
 
 from __future__ import annotations
@@ -27,6 +39,10 @@ from pyspark.sql import functions as F
 
 from motive_spark.checkpoint import CheckpointManager
 
+# above this vertex count, broadcasting the rank table each superstep is
+# slower than shuffling it (hash-relation build is single-threaded)
+BROADCAST_MAX_VERTICES = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -35,6 +51,8 @@ def pagerank(
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    strategy: str = "auto",
+    counters_out: list | None = None,
 ) -> DataFrame:
     """Returns (id, rank). ``tol=None`` runs exactly ``max_iter`` supersteps
     (fixed-iteration mode used by the DuckDB oracle); otherwise stops when
@@ -50,16 +68,29 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
-    # vertex base table: id, out_deg (0 for dangling) — small, cached
     base = (
         verts.join(outdeg, on="id", how="left")
         .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .repartition(npart, "id")
         .cache()
     )
     n = base.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
+    has_dangling = base.where(F.col("out_deg") == 0).limit(1).count() > 0
+    if strategy == "auto":
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+
+    ew = None
+    if strategy == "copartition":
+        # stationary weighted edge table: (src, dst, out_deg), partitioned
+        # on src once; only the rank table moves per superstep.
+        ew = (
+            e.join(outdeg.withColumnRenamed("id", "src"), on="src")
+            .select("src", "dst", "out_deg")
+            .repartition(npart, "src")
+            .cache()
+        )
+        ew.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     start_iter = 0
@@ -70,28 +101,52 @@ def pagerank(
             ranks = ckpt.load(last)
             start_iter = last + 1
 
+    import time as _time
+
     for i in range(start_iter, max_iter):
-        # dangling mass: ranks of zero-outdeg vertices (scalar)
-        with_deg = ranks.join(base, on="id")
-        dangling = (
-            with_deg.where(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
-        )
-        contribs = (
-            with_deg.where(F.col("out_deg") > 0)
-            .join(e, on=[with_deg.id == e.src])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
-        )
-        new_ranks = base.join(contribs, on="id", how="left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
-                + F.lit(damping * dangling / n)
-            ).alias("rank"),
-        )
-        new_ranks = ckpt.save(new_ranks.repartition(npart, "id"), i)
+        _t0 = _time.time()
+        if strategy == "broadcast":
+            with_deg = ranks.join(base, on="id")
+            sender = F.broadcast(with_deg.where(F.col("out_deg") > 0))
+            contribs = (
+                sender.join(e, on=[with_deg.id == e.src])
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
+            )
+            dang_src = with_deg
+        else:
+            contribs = (
+                ew.join(ranks.hint("shuffle_hash"), on=[ranks.id == ew.src])
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
+            )
+            dang_src = ranks.join(base, on="id")
+
+        new_ranks = base.join(
+            contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left"
+        ).select("id", "recv")
+        if has_dangling:
+            dang = dang_src.where(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dang)).select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                    + F.lit(damping) * F.col("dang") / F.lit(float(n))
+                ).alias("rank"),
+            )
+        else:
+            new_ranks = new_ranks.select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        new_ranks = ckpt.save(new_ranks, i)
+        ckpt.counters[-1]["superstep_sec"] = round(_time.time() - _t0, 3)
         if tol is not None:
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
@@ -104,4 +159,12 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
+    # final state is materialized; release inputs — any recompute falls
+    # back to the source scan, still correct.
+    e.unpersist()
+    base.unpersist()
+    if ew is not None:
+        ew.unpersist()
+    if counters_out is not None:
+        counters_out.extend(ckpt.counters)
     return ranks.select("id", "rank")
