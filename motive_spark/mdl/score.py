@@ -1,0 +1,429 @@
+"""MDL motif scoring — batched over ALL motifs in one DataFrame pass.
+
+Computes, per candidate motif (canon key), the total codelength of the
+graph stored as {motif + contracted graph + rewiring}, under the ER and
+EL null models, and the compression factor vs the plain-baseline
+codelength — the reference's size()/sizeER()/sizeEL() surface
+(MotifModel.java:94-150, 485-530) re-expressed as grouped aggregation:
+
+  bits(motif) = sub + subbed + wiring + labels + insertions + multi-edges
+    sub         null-model codelength of the k-node motif graph
+    subbed      null-model codelength of the contraction (occurrences
+                collapsed to single nodes)
+    wiring      adaptive code over rewired-link anchor positions
+                (wiringBits, MotifModel.java:454-470) — order-invariant
+                closed form, see codes.online_multiset_bits
+    labels      prefix(#occ) + log2C(#occ, n')   (MotifModel.java:136)
+    insertions  log2(n!) - log2(n'!)             (MotifModel.java:147)
+    multi-edges prefix(max) + adaptive code of per-pair collapse counts
+                (MotifModel.java:882-901)
+
+Physical shape (instance-loop, A4/A5): the edge table is joined against
+the per-motif membership map on BOTH endpoints (J1/P5) — touching only
+instance neighborhoods, never O(#motifs * E).  Degree-sequence effects
+of the contraction are applied as per-vertex DELTAS against the global
+degree histogram (subbedDegrees semantics, MotifModel.java:1192-1395).
+Final per-motif scalar assembly currently collects the (small) delta
+frames driver-side — bounded by rewired links per motif, cf. the
+reference's --fast.max-rw guard (README.md:85-89); converting the
+assembly to applyInPandas is the planned scale-out for huge motif sets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from motive_spark.mdl import codes
+from motive_spark.mdl.models import (
+    el_bits_directed,
+    el_bits_undirected,
+    er_bits,
+)
+from motive_spark.motifs.canon import mask_to_edges
+
+
+def _baselines(n: int, m: int, hists, directed: bool) -> dict[str, float]:
+    er = float(er_bits(n, m, directed=directed))
+    if directed:
+        el = el_bits_directed(hists[0], hists[1], m)
+    else:
+        el = el_bits_undirected(hists, m)
+    return {"er": er, "el": el}
+
+
+def score_motifs(
+    edges: DataFrame,
+    occurrences: DataFrame,
+    directed: bool = True,
+    reset_wiring: bool = True,
+) -> DataFrame:
+    """Score every motif in ``occurrences`` (canon, k, occ_id, vertices —
+    node-disjoint per canon, extractor output) against the ER and EL
+    baselines of ``edges`` (simple graph).
+
+    Returns (canon, k, n_occurrences, size_er, size_el, factor_er,
+    factor_el) — factor = baseline - size, positive ⇒ the motif
+    compresses the graph (numbers.csv semantics, Compare.java:358-363).
+    """
+    spark = edges.sparkSession
+
+    if directed:
+        e = edges.select("src", "dst").dropDuplicates()
+    else:
+        e = (
+            edges.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates()
+        )
+    e = e.cache()
+    m = e.count()
+
+    # global degrees (computed once — CSE hoisting, SURVEY §4.1)
+    out_d = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
+    deg = (
+        out_d.join(in_d, on="id", how="full_outer")
+        .select(
+            "id",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        )
+        .cache()
+    )
+    n = deg.count()
+
+    deg_pd = deg.toPandas()
+    if directed:
+        in_hist = deg_pd.groupby("in_deg").size().to_dict()
+        out_hist = deg_pd.groupby("out_deg").size().to_dict()
+        hists = (in_hist, out_hist)
+    else:
+        und = (deg_pd["in_deg"] + deg_pd["out_deg"]).to_numpy()
+        hists = pd.Series(und).groupby(pd.Series(und)).size().to_dict()
+    base = _baselines(n, m, hists, directed)
+
+    # membership map: vertex → (canon, occ_id, pos, rep)
+    memb = occurrences.select(
+        "canon",
+        "k",
+        "occ_id",
+        F.posexplode("vertices").alias("pos", "vertex"),
+        F.element_at("vertices", 1).alias("rep"),
+    ).cache()
+
+    # classify every edge against each motif's membership (J1 x2 / P5)
+    ms = memb.select(
+        "canon",
+        F.col("vertex").alias("src"),
+        F.col("occ_id").alias("src_occ"),
+        F.col("pos").alias("src_pos"),
+        F.col("rep").alias("src_rep"),
+    )
+    md = memb.select(
+        F.col("canon").alias("canon_d"),
+        F.col("vertex").alias("dst"),
+        F.col("occ_id").alias("dst_occ"),
+        F.col("pos").alias("dst_pos"),
+        F.col("rep").alias("dst_rep"),
+    )
+    t1 = e.join(ms, on="src", how="inner").select(
+        F.col("canon"), F.col("src").alias("src1"), F.col("dst").alias("dst1"),
+        "src_occ", "src_pos", "src_rep",
+    )
+    t2 = e.join(md, on="dst", how="inner").select(
+        F.col("canon_d"), F.col("src").alias("src2"), F.col("dst").alias("dst2"),
+        "dst_occ", "dst_pos", "dst_rep",
+    )
+    touched = (
+        t1.join(
+            t2,
+            on=[
+                t1.src1 == t2.src2,
+                t1.dst1 == t2.dst2,
+                t1.canon == t2.canon_d,
+            ],
+            how="full_outer",
+        )
+        .select(
+            F.coalesce("canon", "canon_d").alias("canon"),
+            F.coalesce("src1", "src2").alias("src"),
+            F.coalesce("dst1", "dst2").alias("dst"),
+            "src_occ",
+            "src_pos",
+            "src_rep",
+            "dst_occ",
+            "dst_pos",
+            "dst_rep",
+        )
+        .cache()
+    )
+
+    # both isNotNull conjuncts FIRST: with only one, NULL == NULL yields
+    # SQL NULL and where(~NULL) silently drops every half-member edge
+    intra = (
+        F.col("src_occ").isNotNull()
+        & F.col("dst_occ").isNotNull()
+        & (F.col("src_occ") == F.col("dst_occ"))
+    )
+    rew = touched.where(~intra).select(
+        "canon",
+        "src",
+        "dst",
+        "src_occ",
+        "src_pos",
+        "dst_occ",
+        "dst_pos",
+        F.coalesce("src_rep", "src").alias("new_src"),
+        F.coalesce("dst_rep", "dst").alias("new_dst"),
+        F.col("src_rep").isNotNull().alias("src_in"),
+        F.col("dst_rep").isNotNull().alias("dst_in"),
+    )
+    if not directed:
+        rew = rew.withColumn("pair_a", F.least("new_src", "new_dst")).withColumn(
+            "pair_b", F.greatest("new_src", "new_dst")
+        )
+    else:
+        rew = rew.withColumn("pair_a", F.col("new_src")).withColumn(
+            "pair_b", F.col("new_dst")
+        )
+    rew = rew.cache()
+
+    # scalar aggregates per canon
+    intra_cnt = (
+        touched.where(intra).groupBy("canon").agg(F.count(F.lit(1)).alias("intra_cnt"))
+    )
+    occ_stats = occurrences.groupBy("canon", "k").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    motif_masks = occurrences.groupBy("canon", "k").agg(F.first("mask").alias("mask"))
+
+    # wiring anchors: one per instance-side endpoint of each rewired link
+    anchors = (
+        rew.where(F.col("src_in")).select(
+            "canon", F.col("src_occ").alias("occ_id"), F.col("src_pos").alias("pos")
+        )
+    ).unionByName(
+        rew.where(F.col("dst_in")).select(
+            "canon", F.col("dst_occ").alias("occ_id"), F.col("dst_pos").alias("pos")
+        )
+    )
+    anchor_counts = anchors.groupBy("canon", "occ_id", "pos").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    # distinct rewritten pairs with multiplicities → additions = mult-1
+    pair_mult = rew.groupBy("canon", "pair_a", "pair_b").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+    rew_stats = rew.groupBy("canon").agg(F.count(F.lit(1)).alias("touched_cnt"))
+    pair_stats = pair_mult.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("distinct_pairs")
+    )
+
+    # ---- degree deltas (A4 instance-loop subbed degrees) ----
+    # (a) old degrees of all member vertices leave the histogram
+    member_old = memb.join(deg, on=[memb.vertex == deg.id]).select(
+        "canon",
+        F.col("vertex").alias("v"),
+        F.col("in_deg").alias("old_in"),
+        F.col("out_deg").alias("old_out"),
+        F.lit("member").alias("kind"),
+        (F.col("vertex") == F.col("rep")).alias("is_rep"),
+    )
+    # (b) per-vertex new degrees in the contraction, from rewritten pairs
+    ends = rew.select(
+        "canon", F.col("new_src").alias("v"), F.lit(1).alias("is_out"),
+        "pair_a", "pair_b",
+    ).unionByName(
+        rew.select(
+            "canon", F.col("new_dst").alias("v"), F.lit(0).alias("is_out"),
+            "pair_a", "pair_b",
+        )
+    )
+    new_deg = ends.groupBy("canon", "v").agg(
+        F.count_distinct(
+            F.when(F.col("is_out") == 1, F.struct("pair_a", "pair_b"))
+        ).alias("new_out"),
+        F.count_distinct(
+            F.when(F.col("is_out") == 0, F.struct("pair_a", "pair_b"))
+        ).alias("new_in"),
+        # undirected: a vertex can sit on either side of the same
+        # canonical pair — count pair incidence unsplit
+        F.count_distinct(F.struct("pair_a", "pair_b")).alias("new_und"),
+        F.sum("is_out").alias("t_out"),
+        (F.count(F.lit(1)) - F.sum("is_out")).alias("t_in"),
+    )
+    members_flat = memb.select("canon", F.col("vertex").alias("v"), "rep")
+    delta = (
+        new_deg.join(members_flat, on=["canon", "v"], how="left")
+        .join(deg.withColumnRenamed("id", "v"), on="v", how="left")
+        .select(
+            "canon",
+            "v",
+            F.col("rep").isNotNull().alias("is_member"),
+            (F.col("rep").isNotNull() & (F.col("rep") == F.col("v"))).alias("is_rep"),
+            F.coalesce("in_deg", F.lit(0)).alias("old_in"),
+            F.coalesce("out_deg", F.lit(0)).alias("old_out"),
+            "new_in",
+            "new_out",
+            "new_und",
+            "t_in",
+            "t_out",
+        )
+    )
+
+    # collect per-canon small frames and assemble scalars driver-side via
+    # applyInPandas (group sizes bounded by rewired links / occurrence count)
+    sums = (
+        occ_stats.join(intra_cnt, on="canon", how="left")
+        .join(rew_stats, on="canon", how="left")
+        .join(pair_stats, on="canon", how="left")
+        .join(motif_masks, on=["canon", "k"])
+        .fillna(0, subset=["intra_cnt", "touched_cnt", "distinct_pairs"])
+    )
+
+    sums_pd = sums.toPandas()
+    anchors_pd = anchor_counts.toPandas()
+    pairs_pd = pair_mult.select("canon", "mult").toPandas()
+    delta_pd = delta.toPandas()
+    member_old_pd = member_old.toPandas()
+
+    rows = []
+    for rec in sums_pd.itertuples(index=False):
+        canon, k = int(rec.canon), int(rec.k)
+        n_occ = int(rec.n_occ)
+        n_sub = n - n_occ * (k - 1)
+        intra_c = int(rec.intra_cnt)
+        touched_c = int(rec.touched_cnt)
+        distinct_p = int(rec.distinct_pairs)
+        m_sub_graph = m - intra_c - touched_c + distinct_p  # simple links in subbed
+
+        # motif's own edge count from its mask
+        medges = mask_to_edges(int(rec.mask), k, directed)
+        m_motif = len(medges)
+
+        # wiring bits (closed-form adaptive code per occurrence)
+        a = anchors_pd[anchors_pd.canon == canon]
+        wiring = 0.0
+        if reset_wiring:
+            for _, grp in a.groupby("occ_id"):
+                wiring += codes.online_multiset_bits(grp["cnt"].to_numpy(), k)
+        else:
+            tot = a.groupby("pos")["cnt"].sum().to_numpy()
+            wiring = codes.online_multiset_bits(tot, k)
+
+        # multi-edge additions: mult-1 per distinct rewritten pair
+        adds = (pairs_pd[pairs_pd.canon == canon]["mult"].to_numpy() - 1)
+        multi_bits = codes.store_integers_bits(adds)
+
+        labels = float(codes.prefix_bits(n_occ) + codes.log2_choose(n_occ, n_sub))
+        insertions = float(codes.log2_factorial(n) - codes.log2_factorial(n_sub))
+
+        # ---- subbed degree histogram (delta against the global) ----
+        d = delta_pd[delta_pd.canon == canon]
+        mo = member_old_pd[member_old_pd.canon == canon]
+        if directed:
+            hist_in = dict(hists[0])
+            hist_out = dict(hists[1])
+
+            def bump(h, key, v):
+                h[key] = h.get(key, 0) + v
+                if h[key] == 0:
+                    del h[key]
+
+            for t in mo.itertuples(index=False):  # members leave
+                bump(hist_in, int(t.old_in), -1)
+                bump(hist_out, int(t.old_out), -1)
+            for t in d.itertuples(index=False):
+                if t.is_member and not t.is_rep:
+                    continue  # non-rep members already removed, never return
+                if t.is_rep:
+                    bump(hist_in, int(t.new_in), +1)
+                    bump(hist_out, int(t.new_out), +1)
+                else:  # touched outside vertex: degree adjusted
+                    bump(hist_in, int(t.old_in), -1)
+                    bump(hist_out, int(t.old_out), -1)
+                    bump(hist_in, int(t.old_in - t.t_in + t.new_in), +1)
+                    bump(hist_out, int(t.old_out - t.t_out + t.new_out), +1)
+            # reps with NO external links never appear in delta: add deg 0
+            reps_seen = set(d[d.is_rep]["v"].tolist())
+            n_isolated_reps = n_occ - len(reps_seen)
+            if n_isolated_reps:
+                bump(hist_in, 0, n_isolated_reps)
+                bump(hist_out, 0, n_isolated_reps)
+            sub_er = float(er_bits(k, m_motif, directed=True))
+            subbed_er = float(er_bits(n_sub, m_sub_graph, directed=True))
+            mot_in: dict[int, int] = {}
+            mot_out: dict[int, int] = {}
+            for i in range(k):
+                mot_out[sum(1 for x, y in medges if x == i)] = (
+                    mot_out.get(sum(1 for x, y in medges if x == i), 0) + 1
+                )
+                mot_in[sum(1 for x, y in medges if y == i)] = (
+                    mot_in.get(sum(1 for x, y in medges if y == i), 0) + 1
+                )
+            sub_el = el_bits_directed(mot_in, mot_out, m_motif)
+            subbed_el = el_bits_directed(hist_in, hist_out, m_sub_graph)
+        else:
+            hist_u = dict(hists)
+
+            def bump(h, key, v):
+                h[key] = h.get(key, 0) + v
+                if h[key] == 0:
+                    del h[key]
+
+            for t in mo.itertuples(index=False):
+                bump(hist_u, int(t.old_in + t.old_out), -1)
+            for t in d.itertuples(index=False):
+                if t.is_member and not t.is_rep:
+                    continue
+                if t.is_rep:
+                    bump(hist_u, int(t.new_und), +1)
+                else:
+                    old = int(t.old_in + t.old_out)
+                    bump(hist_u, old, -1)
+                    bump(hist_u, int(old - (t.t_in + t.t_out) + t.new_und), +1)
+            reps_seen = set(d[d.is_rep]["v"].tolist())
+            n_isolated_reps = n_occ - len(reps_seen)
+            if n_isolated_reps:
+                bump(hist_u, 0, n_isolated_reps)
+            sub_er = float(er_bits(k, m_motif, directed=False))
+            subbed_er = float(er_bits(n_sub, m_sub_graph, directed=False))
+            mot_hist: dict[int, int] = {}
+            for i in range(k):
+                dd = sum(1 for x, y in medges if x == i or y == i)
+                mot_hist[dd] = mot_hist.get(dd, 0) + 1
+            sub_el = el_bits_undirected(mot_hist, m_motif)
+            subbed_el = el_bits_undirected(hist_u, m_sub_graph)
+
+        common = wiring + labels + insertions + multi_bits
+        size_er = sub_er + subbed_er + common
+        size_el = sub_el + subbed_el + common
+        rows.append(
+            {
+                "canon": canon,
+                "k": k,
+                "n_occurrences": n_occ,
+                "size_er": size_er,
+                "size_el": size_el,
+                "factor_er": base["er"] - size_er,
+                "factor_el": base["el"] - size_el,
+            }
+        )
+
+    e.unpersist()
+    deg.unpersist()
+    memb.unpersist()
+    touched.unpersist()
+    rew.unpersist()
+    schema = (
+        "canon long, k int, n_occurrences long, size_er double, size_el double, "
+        "factor_er double, factor_el double"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)

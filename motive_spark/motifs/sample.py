@@ -1,0 +1,166 @@
+"""Seeded distributed sampling of connected k-node subgraphs.
+
+Replaces SimpleSubgraphGenerator (UPlainMotifExtractor.java:135-136).
+The reference walks a pointer graph in memory; here each sample grows
+by ``k-1`` rounds of frontier joins — gather-scatter over the edge
+table, fully distributed, no driver loop beyond the k-1 steps:
+
+  round t: explode current members → join symmetric edges → candidate
+  neighbors not yet in the sample → pick ONE per sample by min
+  xxhash64(sample, round, candidate, seed) (uniform over the candidate
+  set, deterministic given the seed).
+
+Correctness contract (SURVEY §7.3-5): occurrences are connected induced
+subgraphs, deterministic under a fixed seed; the exact sampling
+distribution need not byte-match the reference's RNG — extractor
+invariants + motif-injection recovery are the tests, mirroring the
+reference's own (UPlainMotifExtractorTest.java:84-150).
+
+Scale: the per-round join touches n_samples * avg_degree rows; hub
+vertices fan out but the per-sample min-hash aggregation is a groupBy
+with map-side partial min — skew-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_connected_subgraphs(
+    edges: DataFrame,
+    n_samples: int,
+    min_size: int = 3,
+    max_size: int = 6,
+    seed: int = 42,
+    directed: bool = True,
+) -> DataFrame:
+    """Returns (occ_id: long, vertices: array<long> sorted, k: int).
+
+    ``edges`` are the graph's edges (canonical src<dst rows if
+    undirected).  Samples that get stuck before reaching their target
+    size (isolated pockets) are dropped, like failed samples in the
+    reference's rejection loop.
+    """
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(npart, "src")
+        .cache()
+    )
+    verts = sym.select(F.col("src").alias("v")).distinct()
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "occ_id long, vertices array<long>, k int")
+
+    vidx = verts.withColumn(
+        "vix", F.row_number().over(Window.orderBy("v")).cast("long") - 1
+    )
+
+    samples = spark.range(n_samples).select(
+        F.col("id").alias("occ_id"),
+        (
+            F.lit(min_size)
+            + F.pmod(F.xxhash64("id", F.lit(seed), F.lit("k")), F.lit(max_size - min_size + 1))
+        ).cast("int").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(seed), F.lit("seed_v")), F.lit(n)).alias("vix"),
+    )
+    state = (
+        samples.join(F.broadcast(vidx), on="vix")
+        .select("occ_id", "k", F.array("v").alias("vertices"))
+    )
+
+    for t in range(1, max_size):
+        grow = state.where(F.size("vertices") < F.col("k"))
+        done = state.where(F.size("vertices") >= F.col("k"))
+        if grow.isEmpty():
+            break
+        frontier = (
+            grow.select("occ_id", "k", "vertices", F.explode("vertices").alias("v"))
+            .join(sym, on=[F.col("v") == sym.src])
+            .where(~F.array_contains("vertices", F.col("dst")))
+        )
+        picked = (
+            frontier.groupBy("occ_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.xxhash64("occ_id", F.lit(t), F.col("dst"), F.lit(seed)).alias("h"),
+                        F.col("dst").alias("pick"),
+                    )
+                ).alias("sel")
+            )
+            .select("occ_id", F.col("sel.pick").alias("pick"))
+        )
+        grown = (
+            grow.join(picked, on="occ_id", how="inner")
+            .select(
+                "occ_id",
+                "k",
+                F.array_sort(F.concat("vertices", F.array("pick"))).alias("vertices"),
+            )
+        )
+        # stuck samples (no candidates at all) are dropped
+        state = done.unionByName(grown).localCheckpoint(eager=True)
+
+    out = (
+        state.where(F.size("vertices") == F.col("k"))
+        .select("occ_id", F.array_sort("vertices").alias("vertices"), "k")
+    )
+    return out
+
+
+def induced_masks(
+    occurrences: DataFrame, edges: DataFrame, directed: bool = True
+) -> DataFrame:
+    """Attach the induced-subgraph adjacency bitmask to each occurrence.
+
+    Returns (occ_id, vertices, k, mask: long, m_induced: long).
+    Explodes each occurrence into its ordered vertex pairs and joins the
+    edge table — the induced subgraph is exactly the hit set
+    (label-blind, Graphs.blank semantics — Synthetic.java:105).
+    """
+    pos = occurrences.select(
+        "occ_id", "k", F.posexplode("vertices").alias("p", "vtx")
+    )
+    a = pos.select("occ_id", "k", F.col("p").alias("pi"), F.col("vtx").alias("vi"))
+    b = pos.select(
+        F.col("occ_id").alias("occ_id_b"),
+        F.col("p").alias("pj"),
+        F.col("vtx").alias("vj"),
+    )
+    pairs = a.join(b, on=[a.occ_id == b.occ_id_b]).where(F.col("pi") != F.col("pj"))
+    if not directed:
+        # vertices are sorted, so pi < pj ⟺ vi < vj: join against the
+        # canonical (least, greatest) orientation regardless of input order
+        pairs = pairs.where(F.col("pi") < F.col("pj"))
+        e = edges.select(
+            F.least("src", "dst").alias("vi"), F.greatest("src", "dst").alias("vj")
+        ).dropDuplicates()
+    else:
+        e = edges.select(F.col("src").alias("vi"), F.col("dst").alias("vj"))
+    hits = pairs.join(e, on=["vi", "vj"]).select(
+        "occ_id",
+        "k",
+        "pi",
+        "pj",
+    )
+    # 2^(pi*k+pj) — exact in double for exponents <= 62 (max here:
+    # i*k+j <= 7*8+6 = 62 at MAX_K=8 since i != j)
+    def _bit(pi, pj):
+        return F.pow(F.lit(2.0), (F.col(pi) * F.col("k") + F.col(pj)).cast("double")).cast("long")
+
+    if directed:
+        bit = _bit("pi", "pj")
+    else:
+        bit = _bit("pi", "pj") + _bit("pj", "pi")
+    hits = hits.select("occ_id", bit.alias("bit"), F.lit(1).alias("cnt"))
+    agg = hits.groupBy("occ_id").agg(
+        F.sum("bit").alias("mask"), F.sum("cnt").alias("m_induced")
+    )
+    return occurrences.join(agg, on="occ_id", how="inner")

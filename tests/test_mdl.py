@@ -1,0 +1,201 @@
+"""MDL scoring tests — the reference's test patterns (SURVEY §5):
+
+* fast-vs-slow equivalence: the batched DataFrame scorer must equal the
+  naive explicit-contraction oracle to 1e-6 on random graphs
+  (MotifModelTest.java:133-145, 643-665 pattern);
+* anti-overcompression: on pure ER noise no motif may beat the baseline
+  meaningfully (MotifModelTest.java:348-393);
+* motif injection recovery: planted motifs surface with positive and
+  increasing factors (Synthetic.java §3.3 — the reference's own E2E);
+* code primitives sanity (online code = sequential fold equality).
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from tests.conftest import edges_df
+from tests.test_kernels import random_pairs
+
+
+def test_online_code_equals_sequential_fold():
+    """Closed-form lgamma adaptive code == explicit observe() loop."""
+    from motive_spark.mdl.codes import online_multiset_bits
+
+    rng = random.Random(1)
+    for _ in range(20):
+        k = rng.randint(2, 6)
+        seq = [rng.randrange(k) for _ in range(rng.randint(0, 30))]
+        counts = [0.5] * k  # KT init
+        bits = 0.0
+        tot = 0.5 * k
+        for s in seq:
+            bits += -math.log2(counts[s] / tot)
+            counts[s] += 1
+            tot += 1
+        closed = online_multiset_bits(np.bincount(seq, minlength=k), k)
+        assert math.isclose(bits, closed, abs_tol=1e-9), (seq, bits, closed)
+
+
+def test_log2_primitives():
+    from motive_spark.mdl.codes import log2_choose, log2_factorial, prefix_bits
+
+    assert math.isclose(float(log2_factorial(5)), math.log2(120), abs_tol=1e-12)
+    assert math.isclose(float(log2_choose(2, 5)), math.log2(10), abs_tol=1e-12)
+    assert float(prefix_bits(0)) == 1.0
+    assert float(prefix_bits(7)) == 7.0  # 2*floor(log2(8)) + 1
+
+
+def _score_via_spark(spark, pairs, occurrences, motif_edges, k, directed):
+    """Run the batched scorer on one hand-built motif."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs.canon import edges_to_mask
+
+    edges = edges_df(spark, pairs)
+    mask = edges_to_mask(motif_edges, k, directed)
+    occ_rows = [
+        (1, k, i, [int(v) for v in sorted(o)], mask) for i, o in enumerate(occurrences)
+    ]
+    occ_df = spark.createDataFrame(
+        occ_rows, "canon long, k int, occ_id long, vertices array<long>, mask long"
+    )
+    out = score_motifs(edges, occ_df, directed=directed).collect()
+    assert len(out) == 1
+    return out[0]
+
+
+@pytest.mark.parametrize("directed", [False, True])
+@pytest.mark.parametrize("seed", [2, 13])
+def test_fast_vs_slow_equivalence(spark, directed, seed):
+    """Batched DataFrame scorer == naive contraction oracle (tol 1e-6)."""
+    from tests.mdl_oracle import naive_score
+
+    rng = random.Random(seed)
+    pairs = random_pairs(30, 100, seed, directed=directed)
+    adj = set(pairs)
+
+    # plant two disjoint occurrences of whatever induced shape they have:
+    # pick 2 disjoint triangles worth of vertices actually connected
+    k = 3
+    # find two node-disjoint connected triples (path or triangle)
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    occs = []
+    used: set = set()
+    for v in sorted(sym):
+        if v in used:
+            continue
+        for u in sorted(sym[v]):
+            if u in used or u == v:
+                continue
+            third = sorted((sym[v] | sym[u]) - {v, u} - used)
+            if third:
+                occs.append(sorted([v, u, third[0]]))
+                used.update(occs[-1])
+                break
+        if len(occs) == 2:
+            break
+    if len(occs) < 2:
+        pytest.skip("no two disjoint triples in this random graph")
+
+    # the two occurrences must induce the SAME motif for a single canon;
+    # force it by using the first occurrence's induced shape and checking
+    # the second matches, else skip (randomness)
+    def induced(o):
+        local = {v: i for i, v in enumerate(o)}
+        out = set()
+        for a, b in pairs:
+            if a in local and b in local:
+                e = (local[a], local[b]) if directed else tuple(
+                    sorted((local[a], local[b]))
+                )
+                out.add(e)
+        return sorted(out)
+
+    if induced(occs[0]) != induced(occs[1]):
+        # fall back: score a single occurrence (still exercises everything)
+        occs = occs[:1]
+    motif_edges = induced(occs[0])
+
+    got = _score_via_spark(spark, pairs, occs, motif_edges, k, directed)
+    want = naive_score(pairs, occs, motif_edges, k, directed)
+    assert math.isclose(got.size_er, want["size_er"], abs_tol=1e-6), (
+        got.size_er,
+        want,
+    )
+    assert math.isclose(got.size_el, want["size_el"], abs_tol=1e-6)
+    assert math.isclose(got.factor_er, want["factor_er"], abs_tol=1e-6)
+    assert math.isclose(got.factor_el, want["factor_el"], abs_tol=1e-6)
+
+
+def test_hand_computed_contraction(spark):
+    """Two triangles sharing nothing, bridged by one edge — contraction
+    sizes checkable by hand (MotifCompressorTest.java:143-185 style)."""
+    from tests.mdl_oracle import naive_score
+
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    occs = [[0, 1, 2], [3, 4, 5]]
+    tri = [(0, 1), (0, 2), (1, 2)]
+    want = naive_score(pairs, occs, tri, 3, directed=False)
+    # contraction: reps 0 and 3, bridge (2,3)→(0,3): n'=2, m'=1
+    assert want["n_sub"] == 2 and want["m_sub"] == 1
+    got = _score_via_spark(spark, pairs, occs, tri, 3, False)
+    assert math.isclose(got.size_er, want["size_er"], abs_tol=1e-9)
+    assert math.isclose(got.size_el, want["size_el"], abs_tol=1e-9)
+
+
+def test_anti_overcompression_on_er_noise(spark):
+    """On pure ER noise the motif code should not beat the baseline by
+    more than sampling slack (overcompression test pattern)."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = random_pairs(60, 200, seed=4, directed=False)
+    edges = edges_df(spark, pairs)
+    ex = MotifExtractor(edges, samples=600, min_size=3, max_size=4, directed=False)
+    occ = ex.occurrences()
+    scores = score_motifs(edges, occ, directed=False).collect()
+    assert scores
+    sig = -math.log2(0.01)  # the reference's significance line (Konect.java:90)
+    for r in scores:
+        assert r.factor_er < sig, f"false positive on noise: {r}"
+
+
+def test_injection_recovery(spark):
+    """Synthetic.java semantics: inject many copies of a 4-clique into an
+    ER graph; the clique motif must score a large positive factor."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs import MotifExtractor
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    rng = random.Random(11)
+    n_noise, m_noise, n_inst = 150, 300, 12
+    pairs = set(random_pairs(n_noise, m_noise, seed=11, directed=False))
+    base = n_noise
+    for i in range(n_inst):
+        vs = [base + 4 * i + j for j in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                pairs.add((vs[a], vs[b]))
+        # attach to the noise graph so it is connected-ish
+        pairs.add((rng.randrange(n_noise), vs[0]))
+    edges = edges_df(spark, sorted(pairs))
+    ex = MotifExtractor(
+        edges, samples=2500, min_size=4, max_size=4, min_freq=2, directed=False
+    )
+    scores = {
+        r.canon: r for r in score_motifs(edges, ex.occurrences(), directed=False).collect()
+    }
+    clique4 = canonical_form(
+        edges_to_mask([(a, b) for a in range(4) for b in range(a + 1, 4)], 4, False), 4
+    )
+    assert clique4 in scores, "planted 4-clique not among scored motifs"
+    clique_factor = scores[clique4].factor_er
+    assert clique_factor > 0, f"planted motif does not compress: {clique_factor}"
+    # and it should be the best motif
+    best = max(scores.values(), key=lambda r: r.factor_er)
+    assert best.canon == clique4

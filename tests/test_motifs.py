@@ -1,0 +1,147 @@
+"""Motif extractor invariants — pytest translations of the reference's
+test patterns (SURVEY §5):
+
+* canonical forms unify isomorphic subgraphs (shuffled instance
+  re-canonizes to the same motif — MotifModelTest.java:383-391);
+* selected occurrences are node-disjoint (testOverlaps,
+  UPlainMotifExtractorTest.java:102-120);
+* no duplicate nodes within an occurrence (:122-134);
+* each occurrence's induced subgraph equals the motif (testMotifs,
+  :136-150);
+* determinism under a fixed seed (Compare.java:184).
+"""
+
+import random
+from itertools import permutations
+
+import numpy as np
+import pytest
+
+from tests.conftest import edges_df
+from tests.test_kernels import FIXTURE_TRI_HUB, random_pairs
+
+
+def test_canonical_form_invariant_under_permutation():
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    rng = random.Random(7)
+    for k in (3, 4, 5):
+        for _ in range(20):
+            edges = [
+                (i, j)
+                for i in range(k)
+                for j in range(k)
+                if i != j and rng.random() < 0.5
+            ]
+            base = canonical_form(edges_to_mask(edges, k, True), k)
+            for p in list(permutations(range(k)))[:10]:
+                permuted = [(p[i], p[j]) for i, j in edges]
+                assert canonical_form(edges_to_mask(permuted, k, True), k) == base
+
+
+def test_canonical_form_separates_nonisomorphic():
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    k = 3
+    tri = edges_to_mask([(0, 1), (1, 2), (2, 0)], k, False)  # triangle
+    path = edges_to_mask([(0, 1), (1, 2)], k, False)  # path
+    assert canonical_form(tri, k) != canonical_form(path, k)
+
+
+def test_canonical_batch_matches_scalar():
+    from motive_spark.motifs.canon import canonical_batch
+
+    rng = np.random.default_rng(3)
+    k = 4
+    masks = rng.integers(0, 2 ** (k * k), size=50, dtype=np.uint64)
+    batch = canonical_batch(masks, k)
+    from motive_spark.motifs.canon import canonical_form
+
+    for m, c in zip(masks, batch):
+        assert canonical_form(int(m), k) == int(c)
+
+
+@pytest.fixture(scope="module")
+def extractor(spark):
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = random_pairs(60, 240, seed=5, directed=False)
+    edges = edges_df(spark, pairs)
+    return (
+        MotifExtractor(
+            edges, samples=800, min_size=3, max_size=5, min_freq=2,
+            seed=42, directed=False,
+        ),
+        dict(pairs=pairs),
+    )
+
+
+def test_occurrences_connected_and_induced(extractor):
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    ex, ctx = extractor
+    adj = {}
+    for a, b in ctx["pairs"]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = ex.occurrences().collect()
+    assert rows
+    for r in rows:
+        vs = list(r.vertices)
+        assert len(vs) == len(set(vs))  # no dup nodes in an occurrence
+        # connected (BFS over induced subgraph)
+        seen = {vs[0]}
+        stack = [vs[0]]
+        vset = set(vs)
+        while stack:
+            u = stack.pop()
+            for w in adj.get(u, ()) & vset:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        assert seen == vset
+        # induced subgraph canonizes to the motif key
+        k = r.k
+        local = {v: i for i, v in enumerate(vs)}
+        ind = [
+            (local[a], local[b])
+            for a in vs
+            for b in adj.get(a, ())
+            if b in vset and local[a] < local[b]
+        ]
+        assert canonical_form(edges_to_mask(ind, k, False), k) == r.canon
+
+
+def test_selected_occurrences_node_disjoint_per_motif(extractor):
+    ex, _ = extractor
+    rows = ex.occurrences().collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canon, []).extend(r.vertices)
+    for canon, verts in by_canon.items():
+        assert len(verts) == len(set(verts)), f"overlap within motif {canon}"
+
+
+def test_extractor_deterministic(spark):
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = random_pairs(40, 150, seed=9, directed=False)
+    edges = edges_df(spark, pairs)
+    a = MotifExtractor(edges, samples=300, min_size=3, max_size=4, directed=False)
+    b = MotifExtractor(edges, samples=300, min_size=3, max_size=4, directed=False)
+    fa = {(r.canon, r.freq) for r in a.motifs().collect()}
+    fb = {(r.canon, r.freq) for r in b.motifs().collect()}
+    assert fa == fb
+
+
+def test_triangle_motif_found_in_fixture(spark):
+    from motive_spark.motifs import MotifExtractor
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    edges = edges_df(spark, FIXTURE_TRI_HUB)
+    ex = MotifExtractor(
+        edges, samples=400, min_size=3, max_size=3, min_freq=2, directed=False
+    )
+    tri_canon = canonical_form(edges_to_mask([(0, 1), (1, 2), (0, 2)], 3, False), 3)
+    freqs = {r.canon: r.freq for r in ex.motifs().collect()}
+    assert tri_canon in freqs  # the planted triangles surface
