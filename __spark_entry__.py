@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_labelprop,
         "triangle_count_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        **_DATAPIPE_QUERIES,
     }
 
 
@@ -287,4 +288,351 @@ inc AS (
 cnt AS (SELECT id, COUNT(*) AS n_triangles FROM inc GROUP BY id)
 SELECT v.id, COALESCE(c.n_triangles, 0) AS n_triangles
 FROM verts v LEFT JOIN cnt c USING (id) ORDER BY v.id""",
+        **_DATAPIPE_ORACLES,
     }
+
+
+# ---------------------------------------------------------------------------
+# datapipe queries (dedup / text / similarity) + oracles
+# ---------------------------------------------------------------------------
+
+# generate_subscripts expands in lockstep with unnest (Postgres-style
+# SRF), giving DETERMINISTIC in-list positions — a ROW_NUMBER over the
+# unnest is not order-stable under DuckDB's parallel execution.
+_GRAM_SQL = """
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS p
+  FROM documents
+)
+"""
+
+
+def _grams_sql(n: int) -> str:
+    """Distinct word n-grams per doc — mirrors dedup.word_ngrams exactly.
+
+    DuckDB's UNNEST preserves list order and ROW_NUMBER over the
+    per-doc unnest enumerates positions (same as posexplode)."""
+    joins = []
+    concat = "t0.w"
+    for j in range(1, n):
+        joins.append(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.p = t0.p + {j}"
+        )
+        concat += f" || ' ' || t{j}.w"
+    return f"""
+grams AS MATERIALIZED (
+  SELECT DISTINCT t0.doc_id, {concat} AS gram
+  FROM toks t0
+  {' '.join(joins)}
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).orderBy("text_md5")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.15, max_doc_freq=1000).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_candidates(docs, n=3, num_hashes=12, bands=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs, n=2).orderBy("doc_id")
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs).drop("n_subtokens").orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs).orderBy("doc_id")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import detect_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return detect_language(docs).orderBy("doc_id")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe.dedup import word_ngrams
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.size(F.split("text", " ")) >= 5
+    )
+    g = word_ngrams(docs, 5).select("doc_id", F.md5("gram").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from motive_spark.datapipe import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, k=5, n_queries=10).orderBy("query_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (mapInPandas featurizer — not SQL-expressible)."""
+    from motive_spark.datapipe.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = byte_histogram_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    ).orderBy("doc_id")
+
+
+def q_motif_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-node connected-subgraph census on the co-purchase graph:
+    triangles vs open wedges (induced paths) — the exhaustive-k=3 analogue
+    of the sampled motif frequency table."""
+    from motive_spark.graph import degrees
+    from motive_spark.kernels import triangle_count
+
+    und = _und(spark, sf_dir)
+    tri = triangle_count(und).collect()[0][0]
+    deg = degrees(und, directed=False)
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    ).collect()[0][0]
+    return spark.createDataFrame(
+        [("triangle", int(tri)), ("path", int(wedges - 3 * tri))],
+        "motif string, n long",
+    ).orderBy("motif")
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(2 * ((strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}"
+        for j in range(1, 33)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(1, 33)
+    )
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(2)
+        + f""",
+hashed AS (SELECT doc_id, md5(gram) AS h FROM grams),
+sums AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums ORDER BY doc_id"""
+    )
+
+
+def _minhash_sql(num_hashes: int = 12, bands: int = 4) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(md5('{i}|' || gram)) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = []
+    for b in range(bands):
+        parts = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig"
+        )
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(3)
+        + f""",
+sig AS MATERIALIZED (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+buckets AS MATERIALIZED ({' UNION ALL '.join(band_rows)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands_shared
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
+
+
+def _jaccard_sql(threshold: float = 0.15, max_df: int = 1000) -> str:
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(3)
+        + f""",
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS MATERIALIZED (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {max_df}
+),
+g AS MATERIALIZED (SELECT doc_id, grams.gram FROM grams JOIN rare ON grams.gram = rare.gram),
+shared AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6) >= {threshold}
+ORDER BY doc_a, doc_b"""
+    )
+
+
+def _count_token_sql(token: str) -> str:
+    needle = f" {token} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+def _langid_sql() -> str:
+    from motive_spark.datapipe.text import LANG_MARKERS
+
+    cnt_exprs = {
+        lang: " + ".join(_count_token_sql(w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"({e}) AS c_{lang}" for lang, e in cnt_exprs.items())
+    best = "'und'"
+    best_cnt = "CAST(0 AS BIGINT)"
+    for lang in sorted(LANG_MARKERS):
+        best = f"CASE WHEN c_{lang} > {best_cnt} THEN '{lang}' ELSE {best} END"
+        best_cnt = f"CASE WHEN c_{lang} > GREATEST({best_cnt}) THEN c_{lang} ELSE {best_cnt} END"
+    # build iteratively to mirror the Spark fold exactly
+    lines = ["WITH c AS (SELECT doc_id, " + sel + " FROM documents)"]
+    expr_best = "'und'"
+    expr_cnt = "CAST(0 AS BIGINT)"
+    for lang in sorted(LANG_MARKERS):
+        expr_best = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN '{lang}' ELSE ({expr_best}) END"
+        expr_cnt = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN c_{lang} ELSE ({expr_cnt}) END"
+    lines.append(f"SELECT doc_id, {expr_best} AS pred_lang FROM c ORDER BY doc_id")
+    return "\n".join(lines)
+
+
+_DATAPIPE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "multimodal_features": q_multimodal_features,
+    "motif_triad_census": q_motif_triad_census,
+}
+
+_DATAPIPE_ORACLES = {
+    "dedup_exact": """
+SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+    "dedup_ngram_jaccard": _jaccard_sql(),
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "text_token_stats": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+FROM documents ORDER BY doc_id""",
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr,
+         ({_count_token_sql('the')} + {_count_token_sql('a')}) * 1.0
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens,
+       ROUND(ttr, 6) AS type_token_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       ROUND(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * LEAST(stop_ratio * 10.0, 1.0) + 0.3 * ttr, 6) AS quality
+FROM t ORDER BY doc_id""",
+    "text_langid": _langid_sql(),
+    "text_fingerprint": (
+        "WITH "
+        + _GRAM_SQL.replace("FROM documents", "FROM documents WHERE len(string_split(text,' ')) >= 5")
+        + ","
+        + _grams_sql(5)
+        + """,
+hashed AS (SELECT doc_id, md5(gram) AS h FROM grams),
+ranked AS (
+  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rank
+  FROM hashed
+)
+SELECT doc_id, h, rank FROM ranked WHERE rank <= 4 ORDER BY doc_id, rank"""
+    ),
+    "knn_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS va FROM embeddings WHERE vec_id < 10),
+b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vb FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(va, vb), 6) AS cos
+  FROM q CROSS JOIN b WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank""",
+    "motif_triad_census": (
+        "WITH "
+        + SQL_GRAPH
+        + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+tri AS (
+  SELECT COUNT(*) AS t FROM und a
+  JOIN und b ON a.src = b.src AND a.dst < b.dst
+  JOIN und c ON c.src = a.dst AND c.dst = b.dst
+),
+w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
+SELECT 'path' AS motif, (SELECT w FROM w) - 3 * (SELECT t FROM tri) AS n
+UNION ALL
+SELECT 'triangle' AS motif, (SELECT t FROM tri) AS n
+ORDER BY motif"""
+    ),
+}

@@ -1,0 +1,26 @@
+from motive_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from motive_spark.datapipe.similarity import brute_force_topk, lsh_bucketed_topk
+from motive_spark.datapipe.text import (
+    detect_language,
+    document_fingerprint,
+    quality_scores,
+    token_stats,
+)
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "token_stats",
+    "quality_scores",
+    "detect_language",
+    "document_fingerprint",
+]

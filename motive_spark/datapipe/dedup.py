@@ -1,0 +1,175 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact (hash groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash —
+the standard pretraining-corpus dedup ladder.  All of it is built-in
+Spark SQL expressions over md5 (cross-engine stable), so every operator
+has an exact DuckDB oracle; none of it touches Python row-at-a-time.
+
+Scale notes:
+  * gram explosion is linear in corpus token count; the gram→doc join is
+    the classic inverted-index shuffle, pruned by ``min_shared`` and by
+    dropping ubiquitous grams (document-frequency cap) before the join —
+    the df cap is what keeps the self-join from going quadratic at
+    100 TB (stopword-grams otherwise pair everything with everything);
+  * MinHash signatures aggregate per doc with map-side partial min —
+    one narrow shuffle per doc, then candidates come from tiny
+    band-bucket groups (LSH guarantee);
+  * SimHash is a single groupBy(doc) of +-1 digit votes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, min_doc_id)."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) distinct word n-grams via position self-joins —
+    the formulation every SQL engine executes identically."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    )
+    out = toks.select("doc_id", F.col("p").alias("p0"), F.col("w").alias("g"))
+    for j in range(1, n):
+        nxt = toks.select(
+            "doc_id", (F.col("p") - j).alias("p0"), F.col("w").alias(f"w{j}")
+        )
+        out = out.join(nxt, on=["doc_id", "p0"]).withColumn(
+            "g", F.concat_ws(" ", "g", f"w{j}")
+        )
+    return out.select("doc_id", F.col("g").alias("gram")).dropDuplicates()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Inverted-index self-join on gram; grams appearing in more than
+    ``max_doc_freq`` docs are dropped before the join (df cap — the
+    quadratic-blowup guard at corpus scale).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    grams = word_ngrams(docs, n).cache()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("gram")
+    )
+    g = grams.join(rare, on="gram")
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (
+        a.join(b, on="gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 12
+) -> DataFrame:
+    """(doc_id, sig: array<string>) — MinHash over word n-grams.
+
+    Hash family i = md5(i || '|' || gram); the signature entry is the
+    lexicographic minimum (a uniform random order on grams, so the
+    classic MinHash collision bound holds).  Cross-engine exact.
+    """
+    grams = word_ngrams(docs, n)
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), "gram"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = grams.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands; docs sharing
+    any full band collide.  Returns (doc_a, doc_b, n_bands_shared).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l = buckets.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        l.join(r, on=["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def simhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, simhash: string of 32 bits) — hex-digit-parity SimHash.
+
+    Each word n-gram votes ±1 on 32 positions (parity of each hex digit
+    of its md5); the signature bit is 1 iff the sum is positive.
+    Identical arithmetic in any engine with md5/substr/strpos.
+    """
+    grams = word_ngrams(docs, n).withColumn("h", F.md5("gram"))
+    votes = []
+    for j in range(1, 33):
+        digit = F.instr(F.lit("0123456789abcdef"), F.substring("h", j, 1)) - 1
+        votes.append((2 * (digit % 2) - 1).alias(f"v{j}"))
+    per_doc = grams.select("doc_id", *votes).groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(1, 33)]
+    )
+    bits = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)]
+    return per_doc.select("doc_id", F.concat(*bits).alias("simhash"))

@@ -1,0 +1,122 @@
+"""Text analysis over the ``documents`` table — training-data-pipeline
+operators (language-ID heuristic, quality scoring, token counting,
+document fingerprinting).
+
+Every function is pure built-in Spark SQL expressions (JVM-side,
+whole-stage codegen) and deliberately uses only cross-engine primitives
+(split / md5 / replace / length) so the DuckDB oracles replicate the
+semantics byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic —
+# occurrence counting via replace-delta (identical in any SQL engine)
+LANG_MARKERS = {
+    "en": ["the", "and", "with"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "pas"],
+    "es": ["el", "y", "nada"],
+    "zh": ["de5", "le5", "shi4"],
+}
+
+
+def _count_token(col, token: str):
+    """# occurrences of ``token`` as a whitespace-delimited word."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {token} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, n_distinct_tokens).
+
+    Token = whitespace split; the BPE-ish proxy ``n_subtokens`` counts
+    additional splits at punctuation/digit boundaries via regexp.
+    """
+    toks = F.split(F.col("text"), " ")
+    subtok = F.size(
+        F.split(F.col("text"), r"[\s\.,;:!\?\(\)\[\]{}]+|(?<=[a-z])(?=[A-Z0-9])")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / F.size(toks), 6).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        subtok.alias("n_subtokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + stopword presence
+    + type-token ratio (the standard pretraining-filter features)."""
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    stop_hits = _count_token(F.col("text"), "the") + _count_token(F.col("text"), "a")
+    stop_ratio = stop_hits / n_tok
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    score = F.round(
+        0.4 * length_ok + 0.3 * F.least(stop_ratio * 10.0, F.lit(1.0)) + 0.3 * ttr, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def detect_language(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker counts,
+    ties broken by language code order ('de' < 'en' < ...); 'und'
+    (undetermined) when nothing matches."""
+    counts = {
+        lang: sum_expr
+        for lang, sum_expr in (
+            (
+                lang,
+                sum(
+                    (_count_token(F.col("text"), w) for w in words),
+                    F.lit(0).cast("long"),
+                ),
+            )
+            for lang, words in LANG_MARKERS.items()
+        )
+    }
+    best = F.lit("und")
+    best_cnt = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS):  # later wins only on strict >
+        c = counts[lang]
+        is_better = c > best_cnt
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(is_better, c).otherwise(best_cnt)
+    out = docs.select("doc_id", best.alias("pred_lang"))
+    return out
+
+
+def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFrame:
+    """Min-k rolling fingerprint: md5 of each ``gram``-word window, keep
+    the k lexicographically smallest — a winnowing-style content sketch
+    robust to local edits.  Returns (doc_id, fingerprint: array<string>).
+    """
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - gram, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(gram)])
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(grams)), 1, k).alias("fingerprint"),
+    )

@@ -1,0 +1,208 @@
+"""Data-pipeline operators: dedup, similarity, text analysis, multimodal
+plumbing — over the driver's documents/embeddings tables plus hand-built
+fixtures with known answers."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_tiny):
+    return spark.read.parquet(f"{sf_tiny}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_tiny):
+    return spark.read.parquet(f"{sf_tiny}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark):
+    from motive_spark.datapipe import exact_duplicates
+
+    d = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb"), (5, "cc x")],
+        "doc_id long, text string",
+    )
+    rows = exact_duplicates(d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 3 and rows[0].min_doc_id == 1
+
+
+def test_word_ngrams_known(spark):
+    from motive_spark.datapipe.dedup import word_ngrams
+
+    d = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    grams = {r.gram for r in word_ngrams(d, 3).collect()}
+    assert grams == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_near_dup(spark):
+    from motive_spark.datapipe import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("lazy", "sleepy")
+    other = "completely different words nothing shared here at all whatsoever truly"
+    d = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(d, 3, 0.3).collect()}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} for p in pairs)
+    # manual jaccard check
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    ga, gb = grams(base), grams(edited)
+    want = len(ga & gb) / len(ga | gb)
+    assert math.isclose(pairs[(1, 2)], round(want, 6), abs_tol=1e-9)
+
+
+def test_minhash_lsh_finds_near_dups(docs, spark):
+    from motive_spark.datapipe import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    # plant a near-duplicate pair on top of real documents
+    extra = spark.createDataFrame(
+        [
+            (100001, " ".join(["alpha beta gamma delta"] * 20)),
+            (100002, " ".join(["alpha beta gamma delta"] * 19) + " alpha beta gamma end"),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").union(extra)
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(d, n=3, num_hashes=12, bands=4).collect()
+    }
+    assert (100001, 100002) in cands
+    # LSH candidates should cover all high-jaccard pairs (recall check)
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(d, 3, threshold=0.8).collect()
+    }
+    assert truth <= cands
+
+
+def test_simhash_close_for_near_dups(spark):
+    from motive_spark.datapipe import simhash_signatures
+
+    a = " ".join(f"tok{i}" for i in range(60))
+    b = a.replace("tok30", "tokX")
+    c = " ".join(f"other{i}" for i in range(60))
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(d, n=2).collect()}
+    ham = lambda x, y: sum(1 for p, q in zip(x, y) if p != q)  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    assert len(sigs[1]) == 32
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    from motive_spark.datapipe import brute_force_topk
+
+    got = brute_force_topk(emb, k=5, n_queries=5).collect()
+    pdf = emb.toPandas().sort_values("vec_id")
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        qi = np.where(ids == q)[0][0]
+        sims = np.round(vecs @ vecs[qi] / (norms * norms[qi]), 6)
+        sims[qi] = -np.inf
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:5]
+        want = [(int(ids[i]), sims[i]) for i in order]
+        got_pairs = [(r.neighbor_id, r.cos) for r in sorted(rows, key=lambda r: r.rank)]
+        assert [p[0] for p in got_pairs] == [w[0] for w in want]
+        for (gn, gc), (wn, wc) in zip(got_pairs, want):
+            assert math.isclose(gc, wc, abs_tol=2e-6)
+
+
+def test_lsh_topk_recall_vs_brute_force(emb):
+    from motive_spark.datapipe import brute_force_topk, lsh_bucketed_topk
+
+    exact = brute_force_topk(emb, k=3, n_queries=20).collect()
+    approx = lsh_bucketed_topk(emb, k=3, n_planes=4, n_queries=20).collect()
+    exact_top1 = {r.query_id: r.neighbor_id for r in exact if r.rank == 1}
+    approx_map = {}
+    for r in approx:
+        approx_map.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for q, n1 in exact_top1.items() if n1 in approx_map.get(q, set())
+    )
+    assert hits / len(exact_top1) >= 0.3  # recall floor for 4 planes
+
+
+def test_text_stats_and_quality(docs):
+    from motive_spark.datapipe import quality_scores, token_stats
+
+    ts = token_stats(docs).collect()
+    for r in ts[:50]:
+        assert r.n_tokens >= 1 and r.n_chars >= 1
+    q = quality_scores(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in q)
+
+
+def test_detect_language_markers(spark):
+    from motive_spark.datapipe import detect_language
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog with hats"),
+            (2, "der hund und der nicht katze und"),
+            (3, "xyz qqq zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in detect_language(d).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_document_fingerprint_stable_under_suffix(spark):
+    from motive_spark.datapipe import document_fingerprint
+
+    base = " ".join(f"w{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, base), (2, base + " extra trailing words here")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: tuple(r.fingerprint) for r in document_fingerprint(d).collect()}
+    # min-k sketch shares most entries despite the suffix edit
+    shared = len(set(fp[1]) & set(fp[2]))
+    assert shared >= 3
+
+
+def test_multimodal_plumbing(docs):
+    from motive_spark.datapipe.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+        decode_image,
+        frame_sample_plan,
+    )
+
+    table = attach_binary_payload(docs.limit(20))
+    rows = table.collect()
+    for r in rows:
+        assert isinstance(r.payload, (bytes, bytearray))
+        assert r.meta.n_bytes == len(r.payload)
+    feats = byte_histogram_features(table).collect()
+    assert len(feats) == len(rows)
+    for r in feats:
+        assert len(r.features) == 32
+        assert math.isclose(sum(r.features), 1.0, abs_tol=1e-5)
+    # determinism
+    feats2 = byte_histogram_features(table).collect()
+    assert {r.doc_id: tuple(r.features) for r in feats} == {
+        r.doc_id: tuple(r.features) for r in feats2
+    }
+    plan = frame_sample_plan(table, every_n=2)
+    assert plan.count() >= 20
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
