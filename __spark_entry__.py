@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         **_DATAPIPE_QUERIES,
+        **_RELATIONAL_QUERIES,
     }
 
 
@@ -289,6 +290,7 @@ cnt AS (SELECT id, COUNT(*) AS n_triangles FROM inc GROUP BY id)
 SELECT v.id, COALESCE(c.n_triangles, 0) AS n_triangles
 FROM verts v LEFT JOIN cnt c USING (id) ORDER BY v.id""",
         **_DATAPIPE_ORACLES,
+        **_RELATIONAL_ORACLES,
     }
 
 
@@ -635,4 +637,98 @@ UNION ALL
 SELECT 'triangle' AS motif, (SELECT t FROM tri) AS n
 ORDER BY motif"""
     ),
+}
+
+
+# ---------------------------------------------------------------------------
+# relational / window coverage over events + orders
+# ---------------------------------------------------------------------------
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer-cents sum first: float `value` has 2-decimal semantics, so
+    # per-row round(value*100) is exact in every engine and the average
+    # is then a deterministic double (no summation-order boundary flips)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(cents) / (F.count(F.lit(1)) * 100.0), 6).alias("avg_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+        .orderBy("event_type", "rnk")
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("revenue"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+_RELATIONAL_QUERIES = {
+    "events_user_stats": q_events_user_stats,
+    "events_top3_per_type": q_events_top3_per_type,
+    "orders_cube": q_orders_cube,
+    "orders_monthly": q_orders_monthly,
+}
+
+_RELATIONAL_ORACLES = {
+    "events_user_stats": """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / (COUNT(*) * 100.0), 6) AS avg_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id""",
+    "events_top3_per_type": """
+SELECT event_type, rnk, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3 ORDER BY event_type, rnk""",
+    "orders_cube": """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority""",
+    "orders_monthly": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders GROUP BY 1 ORDER BY 1""",
 }

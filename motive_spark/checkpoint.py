@@ -91,6 +91,16 @@ class CheckpointManager:
                 json.dump(self.counters, f, indent=1)
         return out
 
+    def annotate(self, **metrics) -> None:
+        """Attach metrics to the latest superstep record (re-flushes the
+        counters sidecar so on-disk state is never missing fields)."""
+        if not self.counters:
+            return
+        self.counters[-1].update(metrics)
+        if self.base_dir is not None:
+            with open(os.path.join(self.base_dir, "counters.json"), "w") as f:
+                json.dump(self.counters, f, indent=1)
+
     def load(self, iteration: int) -> DataFrame:
         return self.spark.read.parquet(self._iter_dir(iteration))
 

@@ -115,7 +115,7 @@ def connected_components(
             pre_jump.unpersist()
         if fixed_iters is None:
             changed = new_labels.where(F.col("component") != F.col("old")).count()
-            ckpt.counters[-1]["changed"] = changed
+            ckpt.annotate(changed=changed)
             labels = new_labels.select("id", "component")
             if changed == 0:
                 break

@@ -146,14 +146,14 @@ def pagerank(
                 ).alias("rank"),
             )
         new_ranks = ckpt.save(new_ranks, i)
-        ckpt.counters[-1]["superstep_sec"] = round(_time.time() - _t0, 3)
+        ckpt.annotate(superstep_sec=round(_time.time() - _t0, 3))
         if tol is not None:
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                 .collect()[0][0]
             )
-            ckpt.counters[-1]["l1_delta"] = delta
+            ckpt.annotate(l1_delta=delta)
             ranks = new_ranks
             if delta < tol:
                 break

@@ -1,0 +1,264 @@
+"""Beta / degree-sequence (DS) null model via importance sampling (A13).
+
+The reference's third null model (DegreeSequenceModel, "beta" —
+Compare.java:263, MotifModel.java:161-208): the graph is coded uniformly
+among all simple graphs with its exact degree sequence; the count of
+such graphs is estimated by sequential importance sampling and turned
+into a conservative codelength through a log-normal confidence upper
+bound (LogNormalCI.upperBound(alpha), MotifModel.java:207).
+
+Sampler: Blitzstein–Diaconis sequential importance sampling for graphs
+with prescribed degrees (public literature: Blitzstein & Diaconis 2011,
+Internet Mathematics).  Each sample builds a graph edge-by-edge from the
+minimum-residual-degree vertex, tracking the proposal probability q(Y)
+and the permutation factor c(Y); 1/(c(Y) q(Y)) is an unbiased estimate
+of the number of graphs.  The estimator's correctness is pinned by an
+exact-enumeration test on small sequences (tests/test_beta.py), the
+same contract as the reference's 50-bit MC tolerance tests
+(MotifModelTest.java:66-97).
+
+Spark shape: iterations are embarrassingly parallel — ``spark.range(
+iterations).mapInPandas`` fans each seeded sample to a Python worker
+(MotifModel's DS-sampling executor pool, Compare.java:179-183, become
+Spark tasks).  Undirected only in this version; the directed
+(Gale–Ryser) sampler is a planned extension.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from motive_spark.mdl import codes
+from motive_spark.mdl.models import _degree_hist_entropy_bits
+
+_LN2 = math.log(2.0)
+
+
+def _is_graphical(res: np.ndarray) -> bool:
+    """Erdős–Gallai check for a residual degree sequence."""
+    d = np.sort(res)[::-1]
+    if d.sum() % 2 or (d < 0).any():
+        return False
+    n = len(d)
+    csum = np.cumsum(d)
+    for r in range(1, n + 1):
+        rhs = r * (r - 1) + np.sum(np.minimum(d[r:], r))
+        if csum[r - 1] > rhs:
+            return False
+    return True
+
+
+def bd_sample_log_count(deg_seq: list[int], rng: np.random.Generator) -> float:
+    """One Blitzstein–Diaconis sample → ln(1 / (c(Y) q(Y))), an unbiased
+    (in linear space) estimate of ln #graphs with this degree sequence."""
+    res = np.asarray(deg_seq, dtype=np.int64).copy()
+    n = len(res)
+    adj: set[tuple[int, int]] = set()
+    log_q = 0.0
+    log_c = 0.0
+    if not _is_graphical(res):
+        raise ValueError(f"non-graphical degree sequence: {deg_seq}")
+    while res.sum() > 0:
+        pos = np.where(res > 0)[0]
+        i = pos[np.argmin(res[pos])]  # minimal positive residual vertex
+        log_c += math.lgamma(res[i] + 1.0)  # c(Y) *= a_i!
+        while res[i] > 0:
+            cand = []
+            weights = []
+            for j in range(n):
+                if j == i or res[j] <= 0:
+                    continue
+                e = (min(i, j), max(i, j))
+                if e in adj:
+                    continue
+                # feasibility: adding (i, j) must keep the rest graphical
+                res[i] -= 1
+                res[j] -= 1
+                ok = _is_graphical(res)
+                res[i] += 1
+                res[j] += 1
+                if ok:
+                    cand.append(j)
+                    weights.append(res[j])
+            w = np.asarray(weights, dtype=np.float64)
+            p = w / w.sum()
+            j = cand[rng.choice(len(cand), p=p)]
+            log_q += math.log(p[cand.index(j)])
+            adj.add((min(i, j), max(i, j)))
+            res[i] -= 1
+            res[j] -= 1
+    return -(log_c + log_q)
+
+
+def bd_log_count_samples(
+    spark: SparkSession | None,
+    deg_seq: list[int],
+    iterations: int = 50,
+    seed: int = 42,
+) -> np.ndarray:
+    """``iterations`` independent ln-count estimates; Spark fan-out when a
+    session is given (one seeded sample per task), else a local loop."""
+    deg_seq = [int(d) for d in deg_seq if d > 0] + [int(d) for d in deg_seq if d == 0]
+    if spark is None or iterations <= 8:
+        rngs = [np.random.default_rng((seed, i)) for i in range(iterations)]
+        return np.array([bd_sample_log_count(deg_seq, r) for r in rngs])
+
+    seq = list(map(int, deg_seq))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for it in pdf["id"]:
+                rng = np.random.default_rng((seed, int(it)))
+                out.append(bd_sample_log_count(seq, rng))
+            yield pd.DataFrame({"ln_count": out})
+
+    df = spark.range(iterations).repartition(
+        min(iterations, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    rows = df.mapInPandas(run, schema="ln_count double").collect()
+    return np.array([r.ln_count for r in rows])
+
+
+def lognormal_upper(ln_samples: np.ndarray, alpha: float = 0.05) -> float:
+    """Upper confidence bound (Cox's method) for ln E[W] assuming the
+    importance weights W are log-normal — mirrors LogNormalCI.upperBound
+    (MotifModel.java:207), conservative by design."""
+    from math import sqrt
+
+    s = np.asarray(ln_samples, dtype=np.float64)
+    nn = len(s)
+    mu = s.mean()
+    var = s.var(ddof=1) if nn > 1 else 0.0
+    z = 1.6448536269514722 if alpha == 0.05 else _z_quantile(1 - alpha)
+    half = z * sqrt(var / nn + var * var / (2.0 * (nn - 1))) if nn > 1 else 0.0
+    return mu + var / 2.0 + half
+
+
+def _z_quantile(p: float) -> float:
+    """Standard normal quantile (Acklam's rational approximation)."""
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow = 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p <= 1 - plow:
+        q = p - 0.5
+        r = q * q
+        return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+        )
+    q = math.sqrt(-2 * math.log(1 - p))
+    return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+        (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+    )
+
+
+def beta_codelength(
+    spark: SparkSession | None,
+    deg_hist: dict[int, int],
+    iterations: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> float:
+    """DS-model codelength of an undirected graph: L(D) (ML code) +
+    log2(upper-CI #graphs with D)."""
+    seq: list[int] = []
+    for dgr, cnt in sorted(deg_hist.items()):
+        seq.extend([int(dgr)] * int(cnt))
+    dv = np.array(sorted(deg_hist.keys()), dtype=np.float64)
+    dc = np.array([deg_hist[int(k)] for k in sorted(deg_hist.keys())], dtype=np.float64)
+    seq_bits = _degree_hist_entropy_bits(dv, dc)
+    if sum(seq) == 0:
+        return float(seq_bits)
+    ln_samples = bd_log_count_samples(spark, seq, iterations, seed)
+    return float(seq_bits + lognormal_upper(ln_samples, alpha) / _LN2)
+
+
+def size_beta(
+    edges,
+    occurrences,
+    iterations: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+    reset_wiring: bool = True,
+):
+    """Per-motif size/factor under the Beta model (undirected).
+
+    Returns a list of dicts (canon, k, size_beta, factor_beta) — the
+    MotifModel.sizeBeta surface (MotifModel.java:310-357): motif DS bits
+    + contraction DS bits + the shared structural terms, against the
+    whole-graph DS baseline.
+    """
+    from collections import Counter
+
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs.canon import mask_to_edges
+
+    spark = edges.sparkSession
+    recs = score_motifs(
+        edges, occurrences, directed=False, reset_wiring=reset_wiring,
+        include_hists=True,
+    )
+    # whole-graph baseline histogram
+    from pyspark.sql import functions as F
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    deg_pd = (
+        und.selectExpr("src as id").union(und.selectExpr("dst as id"))
+        .groupBy("id")
+        .count()
+        .toPandas()
+    )
+    base_hist = deg_pd.groupby("count").size().to_dict()
+    baseline = beta_codelength(spark, base_hist, iterations, alpha, seed)
+
+    # motif masks per canon
+    masks = {
+        int(r["canon"]): (int(r["k"]), int(r["mask"]))
+        for r in occurrences.groupBy("canon", "k")
+        .agg(F.first("mask").alias("mask"))
+        .collect()
+    }
+    out = []
+    for rec in recs:
+        if "subbed_hist" not in rec:
+            continue  # max_rw-guarded motif (infinite size, no histogram)
+        canon = rec["canon"]
+        k, mask = masks[canon]
+        medges = mask_to_edges(mask, k, directed=False)
+        mot_hist = Counter(
+            sum(1 for x, y in medges if x == i or y == i) for i in range(k)
+        )
+        sub_beta = beta_codelength(None, mot_hist, iterations, alpha, seed)
+        subbed_hist = dict(rec["subbed_hist"])
+        subbed_beta = beta_codelength(spark, subbed_hist, iterations, alpha, seed)
+        size = sub_beta + subbed_beta + rec["common_bits"]
+        out.append(
+            {
+                "canon": canon,
+                "k": k,
+                "size_beta": size,
+                "factor_beta": baseline - size,
+            }
+        )
+    return out

@@ -53,28 +53,18 @@ def _baselines(n: int, m: int, hists, directed: bool) -> dict[str, float]:
     return {"er": er, "el": el}
 
 
-def score_motifs(
-    edges: DataFrame,
-    occurrences: DataFrame,
-    directed: bool = True,
-    reset_wiring: bool = True,
-) -> DataFrame:
-    """Score every motif in ``occurrences`` (canon, k, occ_id, vertices —
-    node-disjoint per canon, extractor output) against the ER and EL
-    baselines of ``edges`` (simple graph).
-
-    Returns (canon, k, n_occurrences, size_er, size_el, factor_er,
-    factor_el) — factor = baseline - size, positive ⇒ the motif
-    compresses the graph (numbers.csv semantics, Compare.java:358-363).
-    """
-    spark = edges.sparkSession
-
+def precompute_globals(edges: DataFrame, directed: bool) -> dict:
+    """Normalize edges + global degrees/histograms/baselines ONCE —
+    reused across every scoring pass of a search (CSE hoisting, the
+    reference computes degrees/baselines once per run too:
+    CompareLarge.java:152, 188-189)."""
     if directed:
         e = edges.select("src", "dst").dropDuplicates()
     else:
         e = (
             edges.select(
-                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
             )
             .where(F.col("src") != F.col("dst"))
             .dropDuplicates()
@@ -82,7 +72,6 @@ def score_motifs(
     e = e.cache()
     m = e.count()
 
-    # global degrees (computed once — CSE hoisting, SURVEY §4.1)
     out_d = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
     in_d = e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
     deg = (
@@ -104,7 +93,49 @@ def score_motifs(
     else:
         und = (deg_pd["in_deg"] + deg_pd["out_deg"]).to_numpy()
         hists = pd.Series(und).groupby(pd.Series(und)).size().to_dict()
-    base = _baselines(n, m, hists, directed)
+    return {
+        "e": e,
+        "deg": deg,
+        "n": n,
+        "m": m,
+        "hists": hists,
+        "base": _baselines(n, m, hists, directed),
+    }
+
+
+def score_motifs(
+    edges: DataFrame,
+    occurrences: DataFrame,
+    directed: bool = True,
+    reset_wiring: bool = True,
+    group_col: str = "canon",
+    include_hists: bool = False,
+    precomputed: dict | None = None,
+    max_rw: int = 500_000,
+) -> DataFrame:
+    """Score every motif in ``occurrences`` (canon, k, occ_id, vertices —
+    node-disjoint per canon, extractor output) against the ER and EL
+    baselines of ``edges`` (simple graph).
+
+    Returns (canon, k, n_occurrences, size_er, size_el, factor_er,
+    factor_el) — factor = baseline - size, positive ⇒ the motif
+    compresses the graph (numbers.csv semantics, Compare.java:358-363).
+    """
+    spark = edges.sparkSession
+    if group_col != "canon":
+        occurrences = occurrences.drop("canon").withColumnRenamed(group_col, "canon")
+
+    if precomputed is not None:
+        e = precomputed["e"]
+        deg = precomputed["deg"]
+        n, m = precomputed["n"], precomputed["m"]
+        hists = precomputed["hists"]
+        base = precomputed["base"]
+    else:
+        pc = precompute_globals(edges, directed)
+        e, deg = pc["e"], pc["deg"]
+        n, m = pc["n"], pc["m"]
+        hists, base = pc["hists"], pc["base"]
 
     # membership map: vertex → (canon, occ_id, pos, rep)
     memb = occurrences.select(
@@ -296,6 +327,23 @@ def score_motifs(
     for rec in sums_pd.itertuples(index=False):
         canon, k = int(rec.canon), int(rec.k)
         n_occ = int(rec.n_occ)
+        if int(rec.touched_cnt) > max_rw:
+            # resource guard: too many rewritten links — skip with +inf
+            # (TooManyRWLinksException semantics, MotifModel.java:88-91,
+            # 1333-1348; --fast.max-rw default 500000, README.md:85-89)
+            inf = float("inf")
+            rows.append(
+                {
+                    "canon": canon,
+                    "k": k,
+                    "n_occurrences": n_occ,
+                    "size_er": inf,
+                    "size_el": inf,
+                    "factor_er": -inf,
+                    "factor_el": -inf,
+                }
+            )
+            continue
         n_sub = n - n_occ * (k - 1)
         intra_c = int(rec.intra_cnt)
         touched_c = int(rec.touched_cnt)
@@ -403,23 +451,38 @@ def score_motifs(
         common = wiring + labels + insertions + multi_bits
         size_er = sub_er + subbed_er + common
         size_el = sub_el + subbed_el + common
-        rows.append(
-            {
-                "canon": canon,
-                "k": k,
-                "n_occurrences": n_occ,
-                "size_er": size_er,
-                "size_el": size_el,
-                "factor_er": base["er"] - size_er,
-                "factor_el": base["el"] - size_el,
-            }
-        )
+        row = {
+            "canon": canon,
+            "k": k,
+            "n_occurrences": n_occ,
+            "size_er": size_er,
+            "size_el": size_el,
+            "factor_er": base["er"] - size_er,
+            "factor_el": base["el"] - size_el,
+        }
+        if include_hists:
+            # for the Beta/DS model: the contraction's degree histogram
+            # and the non-null-model term total (mdl.beta consumes these)
+            row["common_bits"] = common
+            row["m_sub_graph"] = m_sub_graph
+            row["n_sub"] = n_sub
+            if directed:
+                row["subbed_hist_in"] = sorted(hist_in.items())
+                row["subbed_hist_out"] = sorted(hist_out.items())
+            else:
+                row["subbed_hist"] = sorted(hist_u.items())
+        rows.append(row)
 
-    e.unpersist()
-    deg.unpersist()
+    if precomputed is None:
+        e.unpersist()
+        deg.unpersist()
     memb.unpersist()
     touched.unpersist()
     rew.unpersist()
+    if include_hists:
+        # raw per-motif records incl. contraction histograms (driver-side
+        # consumer: mdl.beta); not a DataFrame because of the dict columns
+        return rows
     schema = (
         "canon long, k int, n_occurrences long, size_er double, size_el double, "
         "factor_er double, factor_el double"

@@ -1,0 +1,215 @@
+"""Fibonacci search over occurrence-prefix cutoffs (O5).
+
+The reference's FindPhi (MotifSearchModel.java:196-303): for each motif,
+find the number of occurrences c minimizing size(first c occurrences);
+memoized Fibonacci-grid descent, always sampling c=0, bounded depth,
+answer = min over everything sampled.
+
+Control flow lives on the driver (a dict of per-motif search states);
+every ROUND batches all motifs' pending (motif, cutoff) evaluations into
+ONE score_motifs pass keyed by a synthetic group id — the reference's
+thread-per-motif boundary becomes round-batched DataFrame jobs
+(SURVEY §3.5).  Rounds ≈ O(log_phi max_occurrences).
+
+Occurrence order is the extractor's deterministic selection order
+(exDegree asc, occ_id) — the reference's occurrences(sub) order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from motive_spark.mdl import codes
+from motive_spark.mdl.models import el_bits_directed, el_bits_undirected, er_bits
+from motive_spark.mdl.score import score_motifs
+from motive_spark.motifs.canon import mask_to_edges
+
+_FIBS = [1, 1]
+while _FIBS[-1] < 10**12:
+    _FIBS.append(_FIBS[-1] + _FIBS[-2])
+
+
+def _next_fib(n: int) -> int:
+    for f in _FIBS:
+        if f >= n:
+            return f
+    raise ValueError(n)
+
+
+def _prev_fib(x: int) -> int:
+    """Largest Fibonacci number strictly below x (>= 1)."""
+    prev = 1
+    for f in _FIBS:
+        if f >= x:
+            return prev
+        prev = f
+    raise ValueError(x)
+
+
+class _State:
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi, self.depth = lo, hi, 0
+        self.done = False
+
+
+def _zero_occurrence_size(n, m, hists, mask, k, directed, model):
+    """size() with an empty occurrence list: subbed graph == graph.
+    Finite by contract (MotifModelTest.java:817-838)."""
+    medges = mask_to_edges(int(mask), k, directed)
+    m_motif = len(medges)
+    if model == "er":
+        sub = float(er_bits(k, m_motif, directed=directed))
+        subbed = float(er_bits(n, m, directed=directed))
+    else:
+        if directed:
+            from collections import Counter
+
+            mi = Counter(sum(1 for x, y in medges if y == i) for i in range(k))
+            mo = Counter(sum(1 for x, y in medges if x == i) for i in range(k))
+            sub = el_bits_directed(mi, mo, m_motif)
+            subbed = el_bits_directed(hists[0], hists[1], m)
+        else:
+            from collections import Counter
+
+            mh = Counter(
+                sum(1 for x, y in medges if x == i or y == i) for i in range(k)
+            )
+            sub = el_bits_undirected(mh, m_motif)
+            subbed = el_bits_undirected(hists, m)
+    labels = float(codes.prefix_bits(0) + codes.log2_choose(0, n))
+    multi = float(codes.prefix_bits(0))
+    return sub + subbed + labels + multi  # wiring 0, insertions 0
+
+
+def size_with_search(
+    edges: DataFrame,
+    occurrences: DataFrame,
+    directed: bool = True,
+    model: str | tuple[str, ...] = "er",
+    max_depth: int = -1,
+    reset_wiring: bool = True,
+) -> DataFrame:
+    """Per-motif optimal (cutoff, size, factor) under ``model`` —
+    "er", "el", or a tuple of both.  With both, the two searches share
+    every batched evaluation round (score_motifs returns both sizes per
+    pass), halving the Spark jobs vs two independent searches.
+
+    Returns (canon, k, model, cutoff, size, factor).
+    """
+    spark = edges.sparkSession
+    models = (model,) if isinstance(model, str) else tuple(model)
+
+    w = Window.partitionBy("canon").orderBy("ex_degree", "occ_id")
+    ranked = occurrences.withColumn("occ_rank", F.row_number().over(w)).cache()
+    motif_info = {
+        int(r["canon"]): (int(r["k"]), int(r["mask"]), int(r["n_occ"]))
+        for r in ranked.groupBy("canon", "k")
+        .agg(F.first("mask").alias("mask"), F.count(F.lit(1)).alias("n_occ"))
+        .collect()
+    }
+
+    # global stats for the zero-cutoff closed form and the baselines —
+    # computed ONCE and shared by every scoring round (precompute_globals)
+    from motive_spark.mdl.score import precompute_globals
+
+    pc = precompute_globals(edges, directed)
+    e, n, m = pc["e"], pc["n"], pc["m"]
+    hists = pc["hists"]
+    baselines = pc["base"]
+
+    # per-model caches and search states, advanced from SHARED eval rounds
+    cache: dict[str, dict[tuple[int, int], float]] = {mo: {} for mo in models}
+    states: dict[str, dict[int, _State]] = {mo: {} for mo in models}
+    for canon, (k, mask, n_occ) in motif_info.items():
+        hi = n_occ if n_occ in _FIBS else _next_fib(n_occ)
+        for mo in models:
+            cache[mo][(canon, 0)] = _zero_occurrence_size(
+                n, m, hists, mask, k, directed, mo
+            )
+            states[mo][canon] = _State(0, hi)
+
+    def want_cutoffs(st: _State) -> list[int]:
+        rng = st.hi - st.lo
+        if rng <= 2:
+            return [st.lo, st.lo + 1, st.hi]
+        r0 = _prev_fib(rng)
+        return [st.hi - r0, st.lo + r0]
+
+    while True:
+        pending: set[tuple[int, int]] = set()
+        for mo in models:
+            for canon, st in states[mo].items():
+                if st.done:
+                    continue
+                if max_depth >= 0 and st.depth > max_depth:
+                    st.done = True
+                    continue
+                for c in want_cutoffs(st):
+                    c_eff = min(c, motif_info[canon][2])
+                    if (canon, c_eff) not in cache[mo] and c_eff > 0:
+                        pending.add((canon, c_eff))
+        if pending:
+            pend_df = spark.createDataFrame(
+                sorted(pending), "canon long, cutoff long"
+            )
+            subset = ranked.join(pend_df, on="canon").where(
+                F.col("occ_rank") <= F.col("cutoff")
+            )
+            keyed = subset.withColumn(
+                "gid", F.col("canon") * F.lit(10**6) + F.col("cutoff")
+            )
+            res = score_motifs(
+                e,
+                keyed.select(
+                    "gid", "k", "occ_id", "vertices", "mask", "ex_degree"
+                ),
+                directed=directed,
+                reset_wiring=reset_wiring,
+                group_col="gid",
+                precomputed=pc,
+            ).collect()
+            for r in res:
+                canon, cutoff = divmod(int(r["canon"]), 10**6)
+                for mo in models:
+                    cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
+
+        all_done = True
+        for mo in models:
+            for canon, st in states[mo].items():
+                if st.done:
+                    continue
+                rng = st.hi - st.lo
+                if rng <= 2:
+                    st.done = True
+                    continue
+                r0 = _prev_fib(rng)
+                mid1, mid2 = st.hi - r0, st.lo + r0
+                n_occ = motif_info[canon][2]
+                y1 = cache[mo][(canon, min(mid1, n_occ))]
+                y2 = cache[mo][(canon, min(mid2, n_occ))]
+                if y1 > y2:
+                    st.lo = mid1
+                else:
+                    st.hi = mid2
+                st.depth += 1
+                all_done = False
+        if all_done:
+            break
+
+    rows = []
+    for mo in models:
+        for canon, (k, mask, n_occ) in motif_info.items():
+            sizes = {c: v for (cn, c), v in cache[mo].items() if cn == canon}
+            best_c = min(sizes, key=lambda c: (sizes[c], c))
+            rows.append(
+                (canon, k, mo, best_c, sizes[best_c], baselines[mo] - sizes[best_c])
+            )
+    ranked.unpersist()
+    pc["e"].unpersist()
+    pc["deg"].unpersist()
+    return spark.createDataFrame(
+        rows,
+        "canon long, k int, model string, cutoff long, size double, factor double",
+    )

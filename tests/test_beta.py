@@ -1,0 +1,104 @@
+"""Beta/DS model: the importance-sampling estimator must agree with
+exact enumeration on small degree sequences (the ground-truth analogue
+of the reference's 50-bit MC tolerance tests, MotifModelTest.java:66-97),
+and the CI must be a sane upper bound."""
+
+import math
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+
+def exact_graph_count(deg_seq):
+    """Brute-force: count simple graphs on n labeled vertices with the
+    given degree sequence (n small)."""
+    n = len(deg_seq)
+    slots = list(combinations(range(n), 2))
+    target = tuple(deg_seq)
+    count = 0
+    for m in range(len(slots) + 1):
+        if sum(deg_seq) != 2 * m:
+            continue
+        for es in combinations(slots, m):
+            deg = [0] * n
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            if tuple(deg) == target:
+                count += 1
+    return count
+
+
+@pytest.mark.parametrize(
+    "seq",
+    [
+        [1, 1, 2, 2],
+        [2, 2, 2],          # triangle: exactly 1 graph
+        [1, 1, 1, 1],       # two disjoint edges arrangements: 3 graphs
+        [3, 2, 2, 2, 1],
+        [2, 2, 2, 2, 2],    # 5-cycles + triangle+edge combos
+    ],
+)
+def test_bd_estimator_matches_exact_count(seq):
+    from motive_spark.mdl.beta import bd_log_count_samples
+
+    want = exact_graph_count(seq)
+    assert want > 0
+    ln = bd_log_count_samples(None, seq, iterations=400, seed=7)
+    est = float(np.mean(np.exp(ln)))
+    assert math.isclose(est, want, rel_tol=0.15), (seq, est, want)
+
+
+def test_lognormal_upper_bounds_mean():
+    from motive_spark.mdl.beta import lognormal_upper
+
+    rng = np.random.default_rng(3)
+    mu, sigma = 2.0, 0.7
+    true_ln_mean = mu + sigma**2 / 2
+    covered = 0
+    for _ in range(30):
+        s = rng.normal(mu, sigma, size=50)
+        if lognormal_upper(s, alpha=0.05) >= true_ln_mean:
+            covered += 1
+    assert covered >= 25  # ~95% coverage
+
+
+def test_beta_codelength_spark_fanout(spark):
+    """Spark-distributed sampling == local sampling structure; triangle's
+    DS count is exactly 1 graph → log2(1)=0 plus L(D)."""
+    from motive_spark.mdl.beta import beta_codelength
+    from motive_spark.mdl.models import _degree_hist_entropy_bits
+
+    bits = beta_codelength(spark, {2: 3}, iterations=20, alpha=0.05)
+    ld = _degree_hist_entropy_bits(np.array([2.0]), np.array([3.0]))
+    # exactly one triangle graph → count term ~ 0 bits (CI slack tiny)
+    assert abs(bits - ld) < 0.2, (bits, ld)
+
+
+def test_size_beta_on_planted_cliques(spark):
+    from tests.conftest import edges_df
+    from tests.test_kernels import random_pairs
+    from motive_spark.mdl.beta import size_beta
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = set(random_pairs(60, 120, seed=31, directed=False))
+    for i in range(10):
+        vs = [60 + 4 * i + j for j in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                pairs.add((vs[a], vs[b]))
+        pairs.add((i, vs[0]))
+    edges = edges_df(spark, sorted(pairs))
+    ex = MotifExtractor(edges, samples=1200, min_size=4, max_size=4, directed=False)
+    out = size_beta(edges, ex.occurrences(), iterations=12)
+    assert out
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    clique4 = canonical_form(
+        edges_to_mask([(a, b) for a in range(4) for b in range(a + 1, 4)], 4, False), 4
+    )
+    by_canon = {r["canon"]: r for r in out}
+    assert clique4 in by_canon
+    best = max(out, key=lambda r: r["factor_beta"])
+    assert best["canon"] == clique4

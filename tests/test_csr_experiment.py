@@ -1,0 +1,103 @@
+"""CSR block layout + experiment sinks + checkpoint resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import edges_df
+from tests.test_kernels import FIXTURE_TRI_HUB, random_pairs
+
+
+def test_csr_roundtrip_and_salting(spark):
+    from motive_spark.graph.csr import build_csr, csr_to_edges, degrees_from_csr
+
+    pairs = random_pairs(50, 400, seed=8)
+    edges = edges_df(spark, pairs)
+    csr = build_csr(edges, salt_chunk=5)  # tiny chunk → forced salting
+    back = {(r.src, r.dst) for r in csr_to_edges(csr).collect()}
+    assert back == set(pairs)
+    # hubs split into multiple salt rows
+    max_salt = csr.agg(F.max("salt")).collect()[0][0]
+    assert max_salt >= 1
+    assert csr.agg(F.max("deg_part")).collect()[0][0] <= 5
+    # two-phase degrees equal plain degrees
+    want = {}
+    for a, _ in pairs:
+        want[a] = want.get(a, 0) + 1
+    got = {r.id: r.out_deg for r in degrees_from_csr(csr).collect()}
+    assert got == want
+
+
+def test_csr_gather_sum_matches_join(spark):
+    from motive_spark.graph.csr import build_csr, gather_sum
+
+    pairs = random_pairs(40, 200, seed=12)
+    edges = edges_df(spark, pairs)
+    vals = spark.createDataFrame(
+        [(v, float(v % 7 + 1)) for v in range(40)], "id long, value double"
+    )
+    got = {
+        r.id: r.gathered
+        for r in gather_sum(build_csr(edges, salt_chunk=3), vals).collect()
+    }
+    want = {}
+    val = {v: float(v % 7 + 1) for v in range(40)}
+    for a, b in pairs:
+        want[b] = want.get(b, 0.0) + val[a]
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_fast_experiment_sinks(spark, tmp_path):
+    from motive_spark.experiment import fast_experiment
+
+    edges = edges_df(spark, FIXTURE_TRI_HUB)
+    out = str(tmp_path / "exp")
+    meta = fast_experiment(
+        edges,
+        out,
+        samples=400,
+        min_size=3,
+        max_size=3,
+        directed=False,
+        search_depth=2,
+        name="fixture",
+    )
+    assert meta["n_motifs_scored"] >= 1
+    files = os.listdir(out)
+    assert "numbers.csv" in files and "motifs.csv" in files
+    assert "metadata.json" in files
+    assert any(f.startswith("occurrences.") for f in files)
+    with open(os.path.join(out, "metadata.json")) as f:
+        md = json.load(f)
+    assert md["directed"] is False and md["name"] == "fixture"
+    import pandas as pd
+
+    numbers = pd.read_csv(os.path.join(out, "numbers.csv"))
+    assert {"canon", "k", "frequency", "factor_er", "factor_el"} <= set(numbers.columns)
+    # sorted by factor_el desc (CompareLarge co-sort)
+    assert list(numbers["factor_el"]) == sorted(numbers["factor_el"], reverse=True)
+
+
+def test_checkpoint_resume_exact(spark, tmp_path):
+    """North-rule resume: kill after 3 supersteps, resume to 8 — must be
+    bit-identical to a straight 8-superstep run."""
+    from motive_spark.kernels import pagerank
+
+    pairs = random_pairs(50, 300, seed=17)
+    edges = edges_df(spark, pairs)
+    d = str(tmp_path / "ck")
+    pagerank(edges, max_iter=3, tol=None, checkpoint_dir=d)
+    resumed = pagerank(edges, max_iter=8, tol=None, checkpoint_dir=d, resume=True)
+    straight = pagerank(edges, max_iter=8, tol=None)
+    a = {r.id: r.rank for r in resumed.collect()}
+    b = {r.id: r.rank for r in straight.collect()}
+    assert a == b
+    # counters recorded per superstep
+    with open(os.path.join(d, "counters.json")) as f:
+        counters = json.load(f)
+    assert [c["iteration"] for c in counters][-1] == 7
+    assert all("superstep_sec" in c for c in counters)

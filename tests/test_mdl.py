@@ -199,3 +199,67 @@ def test_injection_recovery(spark):
     # and it should be the best motif
     best = max(scores.values(), key=lambda r: r.factor_er)
     assert best.canon == clique4
+
+
+def test_zero_cutoff_closed_form_matches_naive(spark):
+    """size at cutoff 0 (closed form) == naive scorer with no occurrences."""
+    from collections import Counter
+
+    from motive_spark.mdl.search import _zero_occurrence_size
+    from tests.mdl_oracle import naive_score
+
+    pairs = random_pairs(25, 80, seed=6, directed=False)
+    tri = [(0, 1), (0, 2), (1, 2)]
+    want = naive_score(pairs, [], tri, 3, directed=False)
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    hists = Counter(deg.values())
+    n, m = len(deg), len(pairs)
+    from motive_spark.motifs.canon import edges_to_mask
+
+    mask = edges_to_mask(tri, 3, False)
+    for model in ("er", "el"):
+        got = _zero_occurrence_size(n, m, hists, mask, 3, False, model)
+        assert math.isclose(got, want[f"size_{model}"], abs_tol=1e-9), (
+            model,
+            got,
+            want[f"size_{model}"],
+        )
+
+
+def test_fibonacci_search_finds_no_worse_cutoff(spark):
+    """Searched size <= size at the full occurrence list, and the planted
+    clique still wins (MotifSearchModel FindPhi semantics)."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.mdl.search import size_with_search
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = set(random_pairs(80, 160, seed=21, directed=False))
+    base = 80
+    for i in range(8):
+        vs = [base + 4 * i + j for j in range(4)]
+        for a in range(4):
+            for b in range(a + 1, 4):
+                pairs.add((vs[a], vs[b]))
+        pairs.add((i, vs[0]))
+    edges = edges_df(spark, sorted(pairs))
+    ex = MotifExtractor(edges, samples=1200, min_size=4, max_size=4, directed=False)
+    occ = ex.occurrences()
+    full = {r.canon: r for r in score_motifs(edges, occ, directed=False).collect()}
+    searched = {
+        r.canon: r
+        for r in size_with_search(edges, occ, directed=False, model="er").collect()
+    }
+    assert set(searched) == set(full)
+    for canon, s in searched.items():
+        assert s.size <= full[canon].size_er + 1e-9, (canon, s, full[canon])
+        assert 0 <= s.cutoff <= full[canon].n_occurrences
+    best = max(searched.values(), key=lambda r: r.factor)
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    clique4 = canonical_form(
+        edges_to_mask([(a, b) for a in range(4) for b in range(a + 1, 4)], 4, False), 4
+    )
+    assert best.canon == clique4 and best.factor > 0
