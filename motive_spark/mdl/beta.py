@@ -20,8 +20,10 @@ same contract as the reference's 50-bit MC tolerance tests
 Spark shape: iterations are embarrassingly parallel — ``spark.range(
 iterations).mapInPandas`` fans each seeded sample to a Python worker
 (MotifModel's DS-sampling executor pool, Compare.java:179-183, become
-Spark tasks).  Undirected only in this version; the directed
-(Gale–Ryser) sampler is a planned extension.
+Spark tasks).  The directed sampler (Fulkerson–Chen–Anstee residual
+feasibility) is ``bd_sample_log_count_directed``; the ``size_beta``
+motif-scoring API is wired for undirected graphs (directed wiring is
+the remaining step).
 """
 
 from __future__ import annotations
@@ -262,3 +264,83 @@ def size_beta(
             }
         )
     return out
+
+
+# --- directed (digraph) sampler -------------------------------------------
+
+
+def _is_digraphic(out_res: np.ndarray, in_res: np.ndarray) -> bool:
+    """Fulkerson–Chen–Anstee condition: does a simple digraph (no self
+    loops) exist with these residual out/in sequences?"""
+    if out_res.sum() != in_res.sum():
+        return False
+    if (out_res < 0).any() or (in_res < 0).any():
+        return False
+    n = len(out_res)
+    order = np.lexsort((-in_res, -out_res))
+    a = out_res[order]
+    b = in_res[order]
+    for k in range(1, n + 1):
+        lhs = a[:k].sum()
+        rhs = np.minimum(b[:k], k - 1).sum() + np.minimum(b[k:], k).sum()
+        if lhs > rhs:
+            return False
+    return True
+
+
+def bd_sample_log_count_directed(
+    out_seq: list[int], in_seq: list[int], rng: np.random.Generator,
+    max_restarts: int = 50,
+) -> float:
+    """One sequential importance sample → ln(1/(c q)) for the number of
+    simple digraphs with the given out/in sequences.
+
+    BD-style: repeatedly take the vertex with minimal positive residual
+    out-degree and assign its out-edges to admissible targets
+    (weight ∝ residual in-degree), guarding each assignment with the FCA
+    residual check.  The FCA check ignores already-forbidden pairs, so a
+    sample can rarely strand — such samples restart (bounded), which can
+    bias the estimate slightly low; the exact-enumeration test bounds the
+    effect (tests/test_beta.py::test_bd_directed_matches_exact_count).
+    """
+    for _ in range(max_restarts):
+        out_res = np.asarray(out_seq, dtype=np.int64).copy()
+        in_res = np.asarray(in_seq, dtype=np.int64).copy()
+        n = len(out_res)
+        if not _is_digraphic(out_res, in_res):
+            raise ValueError("non-digraphic sequence")
+        used: set[tuple[int, int]] = set()
+        log_q = 0.0
+        log_c = 0.0
+        stuck = False
+        while out_res.sum() > 0 and not stuck:
+            pos = np.where(out_res > 0)[0]
+            i = pos[np.argmin(out_res[pos])]
+            log_c += math.lgamma(out_res[i] + 1.0)
+            while out_res[i] > 0:
+                cand, weights = [], []
+                for j in range(n):
+                    if j == i or in_res[j] <= 0 or (i, j) in used:
+                        continue
+                    out_res[i] -= 1
+                    in_res[j] -= 1
+                    ok = _is_digraphic(out_res, in_res)
+                    out_res[i] += 1
+                    in_res[j] += 1
+                    if ok:
+                        cand.append(j)
+                        weights.append(in_res[j])
+                if not cand:
+                    stuck = True
+                    break
+                w = np.asarray(weights, dtype=np.float64)
+                p = w / w.sum()
+                idx = rng.choice(len(cand), p=p)
+                j = cand[idx]
+                log_q += math.log(p[idx])
+                used.add((i, j))
+                out_res[i] -= 1
+                in_res[j] -= 1
+        if not stuck:
+            return -(log_c + log_q)
+    raise RuntimeError("directed BD sampler stranded repeatedly")

@@ -23,10 +23,12 @@ the per-motif membership map on BOTH endpoints (J1/P5) — touching only
 instance neighborhoods, never O(#motifs * E).  Degree-sequence effects
 of the contraction are applied as per-vertex DELTAS against the global
 degree histogram (subbedDegrees semantics, MotifModel.java:1192-1395).
-Final per-motif scalar assembly currently collects the (small) delta
-frames driver-side — bounded by rewired links per motif, cf. the
-reference's --fast.max-rw guard (README.md:85-89); converting the
-assembly to applyInPandas is the planned scale-out for huge motif sets.
+Final per-motif assembly runs in applyInPandas over a tall generic
+frame grouped by motif — group sizes bounded by rewired links per motif
+(the reference's --fast.max-rw guard, README.md:85-89), never by |E| or
+|V|, so the pass scales out with the motif count.  The include_hists
+path (Beta consumer) assembles driver-side because it returns python
+dict histograms.
 """
 
 from __future__ import annotations
@@ -317,176 +319,326 @@ def score_motifs(
         .fillna(0, subset=["intra_cnt", "touched_cnt", "distinct_pairs"])
     )
 
-    sums_pd = sums.toPandas()
-    anchors_pd = anchor_counts.toPandas()
-    pairs_pd = pair_mult.select("canon", "mult").toPandas()
-    delta_pd = delta.toPandas()
-    member_old_pd = member_old.toPandas()
+    consts = {
+        "n": n,
+        "m": m,
+        "hists": hists,
+        "base": base,
+        "directed": directed,
+        "reset_wiring": reset_wiring,
+        "include_hists": include_hists,
+        "max_rw": max_rw,
+    }
 
-    rows = []
-    for rec in sums_pd.itertuples(index=False):
-        canon, k = int(rec.canon), int(rec.k)
-        n_occ = int(rec.n_occ)
-        if int(rec.touched_cnt) > max_rw:
-            # resource guard: too many rewritten links — skip with +inf
-            # (TooManyRWLinksException semantics, MotifModel.java:88-91,
-            # 1333-1348; --fast.max-rw default 500000, README.md:85-89)
-            inf = float("inf")
+    if include_hists:
+        # driver-side path: the Beta consumer needs python dict histograms
+        sums_pd = sums.toPandas()
+        anchors_pd = anchor_counts.toPandas()
+        pairs_pd = pair_mult.select("canon", "mult").toPandas()
+        delta_pd = delta.toPandas()
+        member_old_pd = member_old.toPandas()
+        rows = []
+        for rec in sums_pd.itertuples(index=False):
+            canon = int(rec.canon)
             rows.append(
-                {
-                    "canon": canon,
-                    "k": k,
-                    "n_occurrences": n_occ,
-                    "size_er": inf,
-                    "size_el": inf,
-                    "factor_er": -inf,
-                    "factor_el": -inf,
-                }
+                _assemble_motif(
+                    canon,
+                    int(rec.k),
+                    int(rec.n_occ),
+                    int(rec.intra_cnt),
+                    int(rec.touched_cnt),
+                    int(rec.distinct_pairs),
+                    int(rec.mask),
+                    anchors_pd[anchors_pd.canon == canon],
+                    pairs_pd[pairs_pd.canon == canon]["mult"].to_numpy(),
+                    delta_pd[delta_pd.canon == canon],
+                    member_old_pd[member_old_pd.canon == canon],
+                    consts,
+                )
             )
-            continue
-        n_sub = n - n_occ * (k - 1)
-        intra_c = int(rec.intra_cnt)
-        touched_c = int(rec.touched_cnt)
-        distinct_p = int(rec.distinct_pairs)
-        m_sub_graph = m - intra_c - touched_c + distinct_p  # simple links in subbed
+        if precomputed is None:
+            e.unpersist()
+            deg.unpersist()
+        memb.unpersist()
+        touched.unpersist()
+        rew.unpersist()
+        return rows
 
-        # motif's own edge count from its mask
-        medges = mask_to_edges(int(rec.mask), k, directed)
-        m_motif = len(medges)
+    # --- scale-out path: per-motif assembly in executors ------------------
+    # a tall generic frame (canon, kind, c1..c10) unions the five per-motif
+    # inputs; applyInPandas groups by canon and runs the same assembly —
+    # group sizes are bounded by max_rw, never by |E| or |V|.
+    tall_schema = "canon long, kind int, " + ", ".join(
+        f"c{i} long" for i in range(1, 11)
+    )
 
-        # wiring bits (closed-form adaptive code per occurrence)
-        a = anchors_pd[anchors_pd.canon == canon]
-        wiring = 0.0
-        if reset_wiring:
-            for _, grp in a.groupby("occ_id"):
-                wiring += codes.online_multiset_bits(grp["cnt"].to_numpy(), k)
-        else:
-            tot = a.groupby("pos")["cnt"].sum().to_numpy()
-            wiring = codes.online_multiset_bits(tot, k)
-
-        # multi-edge additions: mult-1 per distinct rewritten pair
-        adds = (pairs_pd[pairs_pd.canon == canon]["mult"].to_numpy() - 1)
-        multi_bits = codes.store_integers_bits(adds)
-
-        labels = float(codes.prefix_bits(n_occ) + codes.log2_choose(n_occ, n_sub))
-        insertions = float(codes.log2_factorial(n) - codes.log2_factorial(n_sub))
-
-        # ---- subbed degree histogram (delta against the global) ----
-        d = delta_pd[delta_pd.canon == canon]
-        mo = member_old_pd[member_old_pd.canon == canon]
-        if directed:
-            hist_in = dict(hists[0])
-            hist_out = dict(hists[1])
-
-            def bump(h, key, v):
-                h[key] = h.get(key, 0) + v
-                if h[key] == 0:
-                    del h[key]
-
-            for t in mo.itertuples(index=False):  # members leave
-                bump(hist_in, int(t.old_in), -1)
-                bump(hist_out, int(t.old_out), -1)
-            for t in d.itertuples(index=False):
-                if t.is_member and not t.is_rep:
-                    continue  # non-rep members already removed, never return
-                if t.is_rep:
-                    bump(hist_in, int(t.new_in), +1)
-                    bump(hist_out, int(t.new_out), +1)
-                else:  # touched outside vertex: degree adjusted
-                    bump(hist_in, int(t.old_in), -1)
-                    bump(hist_out, int(t.old_out), -1)
-                    bump(hist_in, int(t.old_in - t.t_in + t.new_in), +1)
-                    bump(hist_out, int(t.old_out - t.t_out + t.new_out), +1)
-            # reps with NO external links never appear in delta: add deg 0
-            reps_seen = set(d[d.is_rep]["v"].tolist())
-            n_isolated_reps = n_occ - len(reps_seen)
-            if n_isolated_reps:
-                bump(hist_in, 0, n_isolated_reps)
-                bump(hist_out, 0, n_isolated_reps)
-            sub_er = float(er_bits(k, m_motif, directed=True))
-            subbed_er = float(er_bits(n_sub, m_sub_graph, directed=True))
-            mot_in: dict[int, int] = {}
-            mot_out: dict[int, int] = {}
-            for i in range(k):
-                mot_out[sum(1 for x, y in medges if x == i)] = (
-                    mot_out.get(sum(1 for x, y in medges if x == i), 0) + 1
-                )
-                mot_in[sum(1 for x, y in medges if y == i)] = (
-                    mot_in.get(sum(1 for x, y in medges if y == i), 0) + 1
-                )
-            sub_el = el_bits_directed(mot_in, mot_out, m_motif)
-            subbed_el = el_bits_directed(hist_in, hist_out, m_sub_graph)
-        else:
-            hist_u = dict(hists)
-
-            def bump(h, key, v):
-                h[key] = h.get(key, 0) + v
-                if h[key] == 0:
-                    del h[key]
-
-            for t in mo.itertuples(index=False):
-                bump(hist_u, int(t.old_in + t.old_out), -1)
-            for t in d.itertuples(index=False):
-                if t.is_member and not t.is_rep:
-                    continue
-                if t.is_rep:
-                    bump(hist_u, int(t.new_und), +1)
-                else:
-                    old = int(t.old_in + t.old_out)
-                    bump(hist_u, old, -1)
-                    bump(hist_u, int(old - (t.t_in + t.t_out) + t.new_und), +1)
-            reps_seen = set(d[d.is_rep]["v"].tolist())
-            n_isolated_reps = n_occ - len(reps_seen)
-            if n_isolated_reps:
-                bump(hist_u, 0, n_isolated_reps)
-            sub_er = float(er_bits(k, m_motif, directed=False))
-            subbed_er = float(er_bits(n_sub, m_sub_graph, directed=False))
-            mot_hist: dict[int, int] = {}
-            for i in range(k):
-                dd = sum(1 for x, y in medges if x == i or y == i)
-                mot_hist[dd] = mot_hist.get(dd, 0) + 1
-            sub_el = el_bits_undirected(mot_hist, m_motif)
-            subbed_el = el_bits_undirected(hist_u, m_sub_graph)
-
-        common = wiring + labels + insertions + multi_bits
-        size_er = sub_er + subbed_er + common
-        size_el = sub_el + subbed_el + common
-        row = {
-            "canon": canon,
-            "k": k,
-            "n_occurrences": n_occ,
-            "size_er": size_er,
-            "size_el": size_el,
-            "factor_er": base["er"] - size_er,
-            "factor_el": base["el"] - size_el,
-        }
-        if include_hists:
-            # for the Beta/DS model: the contraction's degree histogram
-            # and the non-null-model term total (mdl.beta consumes these)
-            row["common_bits"] = common
-            row["m_sub_graph"] = m_sub_graph
-            row["n_sub"] = n_sub
-            if directed:
-                row["subbed_hist_in"] = sorted(hist_in.items())
-                row["subbed_hist_out"] = sorted(hist_out.items())
+    def generic(df, kind, cols):
+        exprs = [F.col("canon"), F.lit(kind).alias("kind")]
+        for i in range(1, 11):
+            if i <= len(cols):
+                exprs.append(F.col(cols[i - 1]).cast("long").alias(f"c{i}"))
             else:
-                row["subbed_hist"] = sorted(hist_u.items())
-        rows.append(row)
+                exprs.append(F.lit(None).cast("long").alias(f"c{i}"))
+        return df.select(*exprs)
 
+    tall = (
+        generic(
+            sums,
+            0,
+            ["k", "n_occ", "intra_cnt", "touched_cnt", "distinct_pairs", "mask"],
+        )
+        .unionByName(generic(anchor_counts, 1, ["occ_id", "pos", "cnt"]))
+        .unionByName(generic(pair_mult, 2, ["mult"]))
+        .unionByName(
+            generic(
+                delta.select(
+                    "canon",
+                    F.col("is_member").cast("long").alias("is_member"),
+                    F.col("is_rep").cast("long").alias("is_rep"),
+                    "old_in",
+                    "old_out",
+                    "new_in",
+                    "new_out",
+                    "new_und",
+                    "t_in",
+                    "t_out",
+                ),
+                3,
+                [
+                    "is_member",
+                    "is_rep",
+                    "old_in",
+                    "old_out",
+                    "new_in",
+                    "new_out",
+                    "new_und",
+                    "t_in",
+                    "t_out",
+                ],
+            )
+        )
+        .unionByName(
+            generic(
+                member_old.select(
+                    "canon",
+                    "old_in",
+                    "old_out",
+                    F.col("is_rep").cast("long").alias("is_rep"),
+                ),
+                4,
+                ["old_in", "old_out", "is_rep"],
+            )
+        )
+    )
+
+    out_schema = (
+        "canon long, k int, n_occurrences long, size_er double, size_el double, "
+        "factor_er double, factor_el double"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        canon = int(pdf["canon"].iloc[0])
+        s = pdf[pdf.kind == 0]
+        if s.empty:
+            return pd.DataFrame(
+                columns=[
+                    "canon", "k", "n_occurrences", "size_er", "size_el",
+                    "factor_er", "factor_el",
+                ]
+            )
+        srow = s.iloc[0]
+        anchors = pdf[pdf.kind == 1].rename(
+            columns={"c1": "occ_id", "c2": "pos", "c3": "cnt"}
+        )
+        adds_mult = pdf[pdf.kind == 2]["c1"].to_numpy()
+        dd = pdf[pdf.kind == 3].rename(
+            columns={
+                "c1": "is_member", "c2": "is_rep", "c3": "old_in",
+                "c4": "old_out", "c5": "new_in", "c6": "new_out",
+                "c7": "new_und", "c8": "t_in", "c9": "t_out",
+            }
+        )
+        mo_ = pdf[pdf.kind == 4].rename(
+            columns={"c1": "old_in", "c2": "old_out", "c3": "is_rep"}
+        )
+        row = _assemble_motif(
+            canon,
+            int(srow.c1),
+            int(srow.c2),
+            int(srow.c3),
+            int(srow.c4),
+            int(srow.c5),
+            int(srow.c6),
+            anchors,
+            adds_mult,
+            dd,
+            mo_,
+            consts,
+        )
+        return pd.DataFrame(
+            [
+                {
+                    kk: row[kk]
+                    for kk in (
+                        "canon", "k", "n_occurrences", "size_er", "size_el",
+                        "factor_er", "factor_el",
+                    )
+                }
+            ]
+        )
+
+    result = tall.groupBy("canon").applyInPandas(assemble, schema=out_schema)
+    result = result.localCheckpoint(eager=True)  # materialize before unpersists
     if precomputed is None:
         e.unpersist()
         deg.unpersist()
     memb.unpersist()
     touched.unpersist()
     rew.unpersist()
-    if include_hists:
-        # raw per-motif records incl. contraction histograms (driver-side
-        # consumer: mdl.beta); not a DataFrame because of the dict columns
-        return rows
-    schema = (
-        "canon long, k int, n_occurrences long, size_er double, size_el double, "
-        "factor_er double, factor_el double"
-    )
-    if not rows:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    return result
+
+
+def _assemble_motif(
+    canon: int,
+    k: int,
+    n_occ: int,
+    intra_c: int,
+    touched_c: int,
+    distinct_p: int,
+    mask: int,
+    anchors: pd.DataFrame,
+    adds_mult,
+    delta: pd.DataFrame,
+    member_old: pd.DataFrame,
+    consts: dict,
+) -> dict:
+    """Pure per-motif codelength assembly — shared by the driver path
+    (include_hists, Beta consumer) and the applyInPandas scale-out path.
+    Input frames are that motif's slices only (bounded by max_rw)."""
+    import numpy as np
+
+    n, m = consts["n"], consts["m"]
+    hists, base = consts["hists"], consts["base"]
+    directed = consts["directed"]
+    inf = float("inf")
+    if touched_c > consts["max_rw"]:
+        # resource guard (TooManyRWLinksException semantics,
+        # MotifModel.java:88-91, 1333-1348; --fast.max-rw README.md:85-89)
+        return {
+            "canon": canon,
+            "k": k,
+            "n_occurrences": n_occ,
+            "size_er": inf,
+            "size_el": inf,
+            "factor_er": -inf,
+            "factor_el": -inf,
+        }
+
+    n_sub = n - n_occ * (k - 1)
+    m_sub_graph = m - intra_c - touched_c + distinct_p
+
+    medges = mask_to_edges(mask, k, directed)
+    m_motif = len(medges)
+
+    if consts["reset_wiring"]:
+        wiring = 0.0
+        for _, grp in anchors.groupby("occ_id"):
+            wiring += codes.online_multiset_bits(grp["cnt"].to_numpy(), k)
+    else:
+        tot = anchors.groupby("pos")["cnt"].sum().to_numpy()
+        wiring = codes.online_multiset_bits(tot, k)
+
+    adds = np.asarray(adds_mult, dtype=np.int64) - 1
+    multi_bits = codes.store_integers_bits(adds)
+
+    labels = float(codes.prefix_bits(n_occ) + codes.log2_choose(n_occ, n_sub))
+    insertions = float(codes.log2_factorial(n) - codes.log2_factorial(n_sub))
+
+    def bump(h, key, v):
+        h[key] = h.get(key, 0) + v
+        if h[key] == 0:
+            del h[key]
+
+    if directed:
+        hist_in = dict(hists[0])
+        hist_out = dict(hists[1])
+        for t in member_old.itertuples(index=False):  # members leave
+            bump(hist_in, int(t.old_in), -1)
+            bump(hist_out, int(t.old_out), -1)
+        n_reps_seen = 0
+        for t in delta.itertuples(index=False):
+            if t.is_member and not t.is_rep:
+                continue  # non-rep members already removed, never return
+            if t.is_rep:
+                n_reps_seen += 1
+                bump(hist_in, int(t.new_in), +1)
+                bump(hist_out, int(t.new_out), +1)
+            else:  # touched outside vertex: degree adjusted
+                bump(hist_in, int(t.old_in), -1)
+                bump(hist_out, int(t.old_out), -1)
+                bump(hist_in, int(t.old_in - t.t_in + t.new_in), +1)
+                bump(hist_out, int(t.old_out - t.t_out + t.new_out), +1)
+        n_isolated_reps = n_occ - n_reps_seen
+        if n_isolated_reps:  # reps with no external links: degree 0
+            bump(hist_in, 0, n_isolated_reps)
+            bump(hist_out, 0, n_isolated_reps)
+        sub_er = float(er_bits(k, m_motif, directed=True))
+        subbed_er = float(er_bits(n_sub, m_sub_graph, directed=True))
+        mot_in: dict[int, int] = {}
+        mot_out: dict[int, int] = {}
+        for i in range(k):
+            od = sum(1 for x, y in medges if x == i)
+            idg = sum(1 for x, y in medges if y == i)
+            mot_out[od] = mot_out.get(od, 0) + 1
+            mot_in[idg] = mot_in.get(idg, 0) + 1
+        sub_el = el_bits_directed(mot_in, mot_out, m_motif)
+        subbed_el = el_bits_directed(hist_in, hist_out, m_sub_graph)
+    else:
+        hist_u = dict(hists)
+        for t in member_old.itertuples(index=False):
+            bump(hist_u, int(t.old_in + t.old_out), -1)
+        n_reps_seen = 0
+        for t in delta.itertuples(index=False):
+            if t.is_member and not t.is_rep:
+                continue
+            if t.is_rep:
+                n_reps_seen += 1
+                bump(hist_u, int(t.new_und), +1)
+            else:
+                old = int(t.old_in + t.old_out)
+                bump(hist_u, old, -1)
+                bump(hist_u, int(old - (t.t_in + t.t_out) + t.new_und), +1)
+        n_isolated_reps = n_occ - n_reps_seen
+        if n_isolated_reps:
+            bump(hist_u, 0, n_isolated_reps)
+        sub_er = float(er_bits(k, m_motif, directed=False))
+        subbed_er = float(er_bits(n_sub, m_sub_graph, directed=False))
+        mot_hist: dict[int, int] = {}
+        for i in range(k):
+            dd = sum(1 for x, y in medges if x == i or y == i)
+            mot_hist[dd] = mot_hist.get(dd, 0) + 1
+        sub_el = el_bits_undirected(mot_hist, m_motif)
+        subbed_el = el_bits_undirected(hist_u, m_sub_graph)
+
+    common = wiring + labels + insertions + multi_bits
+    size_er = sub_er + subbed_er + common
+    size_el = sub_el + subbed_el + common
+    row = {
+        "canon": canon,
+        "k": k,
+        "n_occurrences": n_occ,
+        "size_er": size_er,
+        "size_el": size_el,
+        "factor_er": base["er"] - size_er,
+        "factor_el": base["el"] - size_el,
+    }
+    if consts["include_hists"]:
+        row["common_bits"] = common
+        row["m_sub_graph"] = m_sub_graph
+        row["n_sub"] = n_sub
+        if directed:
+            row["subbed_hist_in"] = sorted(hist_in.items())
+            row["subbed_hist_out"] = sorted(hist_out.items())
+        else:
+            row["subbed_hist"] = sorted(hist_u.items())
+    return row

@@ -102,3 +102,44 @@ def test_size_beta_on_planted_cliques(spark):
     assert clique4 in by_canon
     best = max(out, key=lambda r: r["factor_beta"])
     assert best["canon"] == clique4
+
+
+def exact_digraph_count(out_seq, in_seq):
+    """Brute force: simple digraphs (no self-loops) with given sequences."""
+    from itertools import combinations, product
+
+    n = len(out_seq)
+    slots = [(i, j) for i in range(n) for j in range(n) if i != j]
+    m = sum(out_seq)
+    count = 0
+    for es in combinations(slots, m):
+        od = [0] * n
+        ind = [0] * n
+        for a, b in es:
+            od[a] += 1
+            ind[b] += 1
+        if od == list(out_seq) and ind == list(in_seq):
+            count += 1
+    return count
+
+
+@pytest.mark.parametrize(
+    "out_seq,in_seq",
+    [
+        ([1, 1, 1], [1, 1, 1]),
+        ([2, 1, 0], [0, 1, 2]),
+        ([2, 1, 1, 0], [1, 1, 1, 1]),
+        ([1, 1, 1, 1], [2, 2, 0, 0]),
+    ],
+)
+def test_bd_directed_matches_exact_count(out_seq, in_seq):
+    from motive_spark.mdl.beta import bd_sample_log_count_directed
+
+    want = exact_digraph_count(out_seq, in_seq)
+    assert want > 0
+    rngs = [np.random.default_rng((11, i)) for i in range(400)]
+    ln = np.array(
+        [bd_sample_log_count_directed(out_seq, in_seq, r) for r in rngs]
+    )
+    est = float(np.mean(np.exp(ln)))
+    assert math.isclose(est, want, rel_tol=0.15), (out_seq, in_seq, est, want)

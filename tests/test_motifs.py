@@ -145,3 +145,46 @@ def test_triangle_motif_found_in_fixture(spark):
     tri_canon = canonical_form(edges_to_mask([(0, 1), (1, 2), (0, 2)], 3, False), 3)
     freqs = {r.canon: r.freq for r in ex.motifs().collect()}
     assert tri_canon in freqs  # the planted triangles surface
+
+
+def test_directed_extractor_and_injection(spark):
+    """Directed pipeline end-to-end: plant a feed-forward-loop motif in a
+    directed ER graph; the extractor + scorer must recover it (the
+    reference's fast path is directed-only, Run.java:223-224)."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs import MotifExtractor
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    ffl = [(0, 1), (1, 2), (0, 2)]  # feed-forward loop
+    target = canonical_form(edges_to_mask(ffl, 3, True), 3)
+    pairs = set(random_pairs(100, 200, seed=23, directed=True))
+    for i in range(15):
+        vs = [100 + 3 * i + j for j in range(3)]
+        for a, b in ffl:
+            pairs.add((vs[a], vs[b]))
+        pairs.add((i, vs[0]))
+    edges = edges_df(spark, sorted(pairs))
+    ex = MotifExtractor(
+        edges, samples=2000, min_size=3, max_size=3, min_freq=2, directed=True
+    )
+    freqs = {r.canon: r.freq for r in ex.motifs().collect()}
+    assert target in freqs
+    # occurrences of the FFL really induce an FFL
+    import itertools
+
+    eset = set(pairs)
+    for r in ex.occurrences(target).collect():
+        vs = list(r.vertices)
+        local = {v: i for i, v in enumerate(vs)}
+        ind = [
+            (local[a], local[b])
+            for a, b in itertools.permutations(vs, 2)
+            if (a, b) in eset
+        ]
+        assert canonical_form(edges_to_mask(ind, 3, True), 3) == target
+    scores = {
+        r.canon: r for r in score_motifs(edges, ex.occurrences(), directed=True).collect()
+    }
+    assert target in scores
+    best = max(scores.values(), key=lambda r: r.factor_er)
+    assert best.canon == target and best.factor_er > 0
