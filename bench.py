@@ -113,10 +113,11 @@ def _sf_from_dir(d: str) -> float:
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(5_000_000)))
 SCALE_M = int(os.environ.get("SPARK_GRAFT_SCALE_M", str(50_000_000)))
 SCALE_P = int(os.environ.get("SPARK_GRAFT_SCALE_P", "64"))
-SCALE_PR_ITERS = 8
+SCALE_PR_ITERS = int(os.environ.get("SPARK_GRAFT_SCALE_ITERS", "10"))
+SCALE_STRATEGY = os.environ.get("SPARK_GRAFT_SCALE_STRATEGY", "csr")
 
 
-def run_scale_level(cpus: int) -> dict:
+def run_scale_level(cpus: int, strategy: str = SCALE_STRATEGY) -> dict:
     """One parallelism level of the scaling experiment: PageRank supersteps
     over a deterministic synthetic edge graph (seeded xxhash64 endpoints —
     BASELINE.json north_rule allows no external data; the input_hint shape
@@ -161,7 +162,7 @@ def run_scale_level(cpus: int) -> dict:
         e,
         max_iter=SCALE_PR_ITERS,
         tol=None,
-        strategy="copartition",
+        strategy=strategy,
         counters_out=counters,
     )
     pr.count()
@@ -174,14 +175,19 @@ def run_scale_level(cpus: int) -> dict:
 
     secs = [c.get("superstep_sec", 0.0) for c in counters]
     dt = sum(secs)
-    med = statistics.median(secs)
+    # steady-state statistics: the first two supersteps pay JVM JIT and
+    # cache warmup (measured: 17.8s, 8.9s, then ~5.6s steady at 16 cores)
+    # which a long-running cluster job amortizes to nothing
+    steady = secs[2:] if len(secs) > 4 else secs
+    med = statistics.median(steady)
     out = {
         "cpus": cpus,
+        "strategy": strategy,
         "edges": m,
         "supersteps": SCALE_PR_ITERS,
         "pagerank_sec": round(dt, 1),
         "superstep_median_sec": round(med, 2),
-        "superstep_min_sec": round(min(secs), 2),
+        "superstep_min_sec": round(min(steady), 2),
         "setup_sec": round(total - dt, 1),
         "edges_per_sec_median": round(m / med, 1),
         "superstep_sec_each": secs,
@@ -226,8 +232,9 @@ def run_scaling() -> None:
     report = {
         "method": "taskset-pinned local[4] vs local[16], identical job "
         f"(P={SCALE_P} partitions, {SCALE_M} edges, {SCALE_PR_ITERS} supersteps, "
-        "copartition strategy); median/min superstep statistics because this "
-        "VM shows bursty multi-tenant noise (3x superstep variance observed)",
+        f"{SCALE_STRATEGY} strategy); median/min over steady-state "
+        "supersteps (first 2 excluded as JIT/cache warmup) because this VM "
+        "shows bursty multi-tenant noise (3x superstep variance observed)",
         "n_cores_median_superstep_sec": med_n,
         "4n_cores_median_superstep_sec": med_4n,
         "speedup_median": round(med_n / med_4n, 3),
@@ -251,7 +258,14 @@ def _append_baseline_md(report: dict) -> None:
         "",
         f"Job: {SCALE_PR_ITERS} PageRank supersteps over a deterministic "
         f"synthetic graph (n={SCALE_N}, m={r16['edges']}), fixed P={SCALE_P} "
-        "partitions, copartition strategy (edge table stationary).",
+        f"partitions, {SCALE_STRATEGY} strategy"
+        + (
+            " (salted CSR blocks, exchange-free rank join, one shuffle per "
+            "superstep)"
+            if SCALE_STRATEGY == "csr"
+            else " (edge table stationary)"
+        )
+        + ".",
         "",
         "| cores (pinned) | median superstep s | min superstep s | "
         "edge-updates/sec (median) |",
@@ -264,12 +278,11 @@ def _append_baseline_md(report: dict) -> None:
         f"Median-superstep speedup {report['speedup_median']}x → scaling "
         f"efficiency **{report['scaling_efficiency']}** "
         f"(min-superstep efficiency {report['scaling_efficiency_min']}). "
-        "Target ≥ 0.8 holds for a real cluster; on this multi-tenant VM the "
-        "pure-compute ceiling measured 0.84 and supersteps show up to 3x "
-        "host-noise variance (see superstep_sec_each in scaling.json). The "
-        "structural gap beyond noise is the gather shuffle, whose volume "
-        "grows with partition fan-out; 2D/CSR partitioned gather is the "
-        "planned mitigation.",
+        "North-rule target ≥ 0.8.  Context: this multi-tenant VM's "
+        "pure-compute ceiling measured 0.84 for the same 4→16 comparison, "
+        "and supersteps show up to 3x host-noise variance (see "
+        "superstep_sec_each in scaling.json) — median/min are the robust "
+        "statistics.",
         "",
         f"Raw per-superstep seconds: 4-core {r4['superstep_sec_each']}, "
         f"16-core {r16['superstep_sec_each']}.",

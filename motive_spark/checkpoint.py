@@ -34,8 +34,10 @@ class CheckpointManager:
     # superlinearly (measured: 2s/superstep at iter 2 → 140s at iter 8
     # with cadence 4 on the sf0.1 graph).
     local_every: int = 1
-    _prev: DataFrame | None = None
-    _prev_kind: str | None = None
+    # last two ephemeral states: generation i-2 is released when
+    # generation i is saved (two-superstep lag — kernels may still read
+    # the immediately-previous state after save, e.g. the L1-delta check)
+    _hist: list[tuple[DataFrame, str]] = field(default_factory=list)
 
     def _iter_dir(self, i: int) -> str:
         return os.path.join(self.base_dir, f"iter={i:04d}")
@@ -70,9 +72,14 @@ class CheckpointManager:
                 out = df.cache()
                 kind = "cache"
                 n = out.count()
-            if self._prev is not None and self._prev_kind == "cache":
-                self._prev.unpersist()
-            self._prev, self._prev_kind = out, kind
+            self._hist.append((out, kind))
+            if len(self._hist) > 2:
+                old, old_kind = self._hist.pop(0)
+                # release gen i-2 only when gen i-1 is lineage-free (a
+                # localCheckpoint): a merely-cached successor could still
+                # recompute through the old state on block eviction.
+                if self._hist[0][1] == "ckpt":
+                    self._release(old, old_kind)
         else:
             path = self._iter_dir(iteration)
             df.write.mode("overwrite").parquet(path)
@@ -90,6 +97,22 @@ class CheckpointManager:
             with open(os.path.join(self.base_dir, "counters.json"), "w") as f:
                 json.dump(self.counters, f, indent=1)
         return out
+
+    @staticmethod
+    def _release(df: DataFrame, kind: str) -> None:
+        """Explicitly free a superseded ephemeral state.  For a
+        localCheckpoint the blocks belong to the LogicalRDD's internal RDD
+        (not the CacheManager), so ``df.unpersist()`` is a no-op; reach the
+        RDD through the analyzed plan instead.  Without this, long
+        iterative runs accumulate checkpoint blocks until the driver GC +
+        ContextCleaner catch up (verified: storage grows monotonically)."""
+        try:
+            if kind == "cache":
+                df.unpersist()
+            else:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — freeing is best-effort
+            pass
 
     def annotate(self, **metrics) -> None:
         """Attach metrics to the latest superstep record (re-flushes the

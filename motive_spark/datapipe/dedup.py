@@ -33,20 +33,27 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, gram) distinct word n-grams via position self-joins —
-    the formulation every SQL engine executes identically."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    """(doc_id, gram) distinct word n-grams, built as a ZERO-SHUFFLE array
+    expression: slide an index array over the split token array and
+    concat each window (the text.document_fingerprint pattern).  Per-doc
+    distinctness comes from array_distinct before the explode, so no
+    dropDuplicates shuffle either.  The DuckDB oracle keeps the
+    positional-self-join formulation; both produce the same gram set.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_win = F.size(toks) - F.lit(n - 1)
+    idx = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
     )
-    out = toks.select("doc_id", F.col("p").alias("p0"), F.col("w").alias("g"))
-    for j in range(1, n):
-        nxt = toks.select(
-            "doc_id", (F.col("p") - j).alias("p0"), F.col("w").alias(f"w{j}")
-        )
-        out = out.join(nxt, on=["doc_id", "p0"]).withColumn(
-            "g", F.concat_ws(" ", "g", f"w{j}")
-        )
-    return out.select("doc_id", F.col("g").alias("gram")).dropDuplicates()
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -86,41 +86,60 @@ def lsh_bucketed_topk(
     (union of candidates — the standard recall amplification: recall
     1-(1-p^planes)^tables).
 
-    Plane (t, p)'s component for dimension d is a deterministic
-    pseudo-random value in [-1, 1): (xxhash64(t, p, d, seed) % 2^20) /
-    2^19 - 1 — fully engine-side, reproducible, no collected state.
+    The plane matrix is a seeded numpy draw shipped as a BROADCAST
+    ``(t, p, plane)`` table — ``n_tables * n_planes`` rows — and the
+    sign bits come from one crossJoin + groupBy.  Building the planes as
+    per-dimension expression trees instead would put dim x planes x
+    tables (~25k at dim 768) nodes into every query plan and stall
+    Catalyst before a single task runs.
     """
+    import numpy as np
     from pyspark.sql import Window
 
+    spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
 
-    def bucket_key(vcol, t):
-        bits = [F.lit(str(t))]
-        for p in range(n_planes):
-            comp = _dot(
-                vcol,
-                F.array(
-                    *[
-                        (
-                            F.pmod(
-                                F.xxhash64(F.lit(t), F.lit(p), F.lit(d), F.lit(seed)),
-                                F.lit(1 << 20),
-                            ).cast("double")
-                            / F.lit(float(1 << 19))
-                            - F.lit(1.0)
-                        )
-                        for d in range(dim)
-                    ]
-                ),
-            )
-            bits.append(F.when(comp >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    buckets = F.array(*[bucket_key(F.col("v"), t) for t in range(n_tables)])
-    bucketed = (
-        emb.withColumn("bucket", F.explode(buckets)).cache()
+    # Gaussian components: the plane directions are uniform on the sphere
+    # (rotation-invariant), giving the exact sign-LSH collision law
+    # P(bit match) = 1 - theta/pi
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal(size=(n_tables, n_planes, dim))
+    planes_df = spark.createDataFrame(
+        [
+            (t, p, [float(x) for x in planes[t, p]])
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        "t int, p int, plane array<double>",
     )
+    signs = emb.crossJoin(F.broadcast(planes_df)).select(
+        "vec_id",
+        "t",
+        "p",
+        F.when(_dot(F.col("v"), F.col("plane")) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit"),
+    )
+    bucket_keys = (
+        signs.groupBy("vec_id", "t")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s["bit"],
+                ),
+            ).alias("bits")
+        )
+        .select(
+            "vec_id",
+            F.concat(F.col("t").cast("string"), F.lit("|"), F.col("bits")).alias(
+                "bucket"
+            ),
+        )
+    )
+    bucketed = emb.join(bucket_keys, on="vec_id").cache()
     queries = bucketed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("va"), "bucket"
     )

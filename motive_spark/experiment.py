@@ -59,9 +59,13 @@ def fast_experiment(
     occ = ex.occurrences().join(top.select("canon"), on="canon")
     sample_time = time.time() - t0
 
-    # one joint search: ER and EL advance from shared evaluation rounds
+    # one joint search: every requested model advances from SHARED
+    # evaluation rounds (--type full runs Beta under the same search,
+    # MotifSearchModel.sizeBeta with betaSearchDepth — Compare.java:307)
+    model = ("er", "el", "beta") if with_beta else ("er", "el")
     both = size_with_search(
-        edges, occ, directed=directed, model=("er", "el"), max_depth=search_depth
+        edges, occ, directed=directed, model=model, max_depth=search_depth,
+        beta_iterations=beta_iterations, seed=seed,
     ).cache()
     er = both.where(F.col("model") == "er").select(
         "canon",
@@ -76,16 +80,13 @@ def fast_experiment(
     )
     scores = top.join(er, on="canon").join(el, on="canon")
 
-    beta_rows = {}
     if with_beta:
-        from motive_spark.mdl.beta import size_beta
-
-        for r in size_beta(edges, occ, iterations=beta_iterations, seed=seed):
-            beta_rows[r["canon"]] = r["factor_beta"]
-        scores = scores.withColumn(
-            "factor_beta",
-            F.udf(lambda c: float(beta_rows.get(c, float("nan"))), "double")("canon"),
+        beta = both.where(F.col("model") == "beta").select(
+            "canon",
+            F.col("size").alias("size_beta"),
+            F.col("factor").alias("factor_beta"),
         )
+        scores = scores.join(beta, on="canon", how="left")
 
     sort_col = "factor_beta" if with_beta else "factor_el"
     pdf = scores.orderBy(F.desc(sort_col)).toPandas()
@@ -115,6 +116,11 @@ def fast_experiment(
             for vs in sel["vertices"]:
                 f.write(",".join(str(int(v)) for v in vs) + "\n")
 
+    # S10-style significance count (Konect.java:160-175, :430-433) —
+    # computed BEFORE the metadata sink so the on-disk file carries it
+    sig = -__import__("math").log2(0.01)
+    n_significant_el = int((pdf["factor_el"] > sig).sum())
+
     # S9: metadata.json
     meta = {
         "name": name,
@@ -127,19 +133,17 @@ def fast_experiment(
         "seed": seed,
         "models": ["er", "el"] + (["beta"] if with_beta else []),
         "n_motifs_scored": len(pdf),
+        "n_significant_el": n_significant_el,
         "sample_time_sec": round(sample_time, 3),
         "elapsed_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(output_dir, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=1)
-
-    # S10-style timing + significance count (Konect.java:160-175, :430-433)
-    sig = -__import__("math").log2(0.01)
-    meta["n_significant_el"] = int((pdf["factor_el"] > sig).sum())
     return meta
 
 
 def full_experiment(edges: DataFrame, output_dir: str, **kw) -> dict:
-    """--type full: adds the Beta (DS) model column; undirected only."""
+    """--type full: adds the Beta (DS) model column, searched with the
+    other models (directed or undirected)."""
     kw.setdefault("directed", False)
     return fast_experiment(edges, output_dir, with_beta=True, **kw)

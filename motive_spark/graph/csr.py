@@ -29,10 +29,22 @@ def build_csr(
     edges: DataFrame,
     n_blocks: int | None = None,
     salt_chunk: int = 4096,
+    partition_by: str = "block",
 ) -> DataFrame:
     """Edge list → salted CSR blocks.
 
-    (block_id int, src long, salt int, dst_list array<long>, deg_part int)
+    (block_id int, src long, salt int, dst_list array<long>, deg_part int,
+    out_deg long) — ``out_deg`` is the TOTAL out-degree of src (sum over
+    its salt rows), so kernels divide without a degree join.
+
+    ``partition_by``:
+      * ``"block"`` — hash(src, salt): a hub's salt rows spread across
+        partitions (max skew protection; joins on src must move a side);
+      * ``"src"`` — hash(src): co-partitionable with any id-hashed vertex
+        state, so an iterative kernel's rank ⋈ csr join is EXCHANGE-FREE
+        every superstep (the pagerank ``strategy="csr"`` contract).  Hub
+        adjacency still arrives as bounded ``salt_chunk`` rows (bounded
+        task memory); residual partition skew is AQE's skew-join case.
     """
     spark = edges.sparkSession
     if n_blocks is None:
@@ -51,10 +63,16 @@ def build_csr(
         .agg(F.array_sort(F.collect_list("dst")).alias("dst_list"))
         .withColumn("deg_part", F.size("dst_list"))
         .withColumn(
+            "out_deg",
+            F.sum("deg_part").over(Window.partitionBy("src")).cast("long"),
+        )
+        .withColumn(
             "block_id", F.pmod(F.xxhash64("src", "salt"), F.lit(n_blocks)).cast("int")
         )
-        .select("block_id", "src", "salt", "dst_list", "deg_part")
+        .select("block_id", "src", "salt", "dst_list", "deg_part", "out_deg")
     )
+    if partition_by == "src":
+        return csr.repartition(n_blocks, "src")
     return csr.repartition(n_blocks, "block_id")
 
 

@@ -60,19 +60,46 @@ def normalize_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")):
     """Map arbitrary vertex keys to dense longs 0..n-1.
 
     Returns (edges_dense, vertex_map) where vertex_map = (orig_key, id).
-    Dense ids use row_number over a global sort of distinct keys — at
-    100 TB this would be a two-phase assignment (per-partition offsets);
-    for correctness-scale graphs the single window is fine and exact,
-    and the sort keeps ids deterministic.
+
+    Two-phase assignment: range-partition the distinct keys, rank within
+    each partition, then add the cumulative count of the preceding
+    partitions (collected offsets — one row per PARTITION, never per
+    vertex).  id = global rank in sorted key order, exactly as a global
+    window would produce, but no single task ever sees the whole vertex
+    set.  The ranked table is localCheckpointed before the count job so
+    both jobs observe the SAME sampled range boundaries.
     """
     s, d = key_cols
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     vs = (
         edges.select(F.col(s).alias("orig_key"))
         .union(edges.select(F.col(d).alias("orig_key")))
         .distinct()
     )
-    vmap = vs.withColumn(
-        "id", F.row_number().over(Window.orderBy("orig_key")).cast("long") - 1
+    local = (
+        vs.repartitionByRange(npart, "orig_key")
+        .withColumn("part", F.spark_partition_id())
+        .withColumn(
+            "local_rank",
+            F.row_number().over(
+                Window.partitionBy("part").orderBy("orig_key")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        int(r["part"]): int(r["cnt"])
+        for r in local.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "part int, offset long")
+    vmap = local.join(F.broadcast(off_df), on="part").select(
+        "orig_key",
+        (F.col("offset") + F.col("local_rank") - 1).cast("long").alias("id"),
     )
     dense = (
         edges.join(vmap.withColumnRenamed("orig_key", s), on=s)

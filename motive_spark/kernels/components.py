@@ -12,8 +12,14 @@ Scale notes:
     neighbors — one extra join per round) which drops rounds to
     O(log n) on high-diameter graphs (Kiveris et al., "Connected
     Components in MapReduce and Beyond", SoCC'14 — public literature);
-  * the symmetrized edge table is partitioned once on src and cached;
-    labels (1 row/vertex) are the only per-round shuffle;
+  * the symmetrized edge table is partitioned once on the gather key and
+    cached; labels (1 row/vertex) are the only per-round shuffle;
+  * the label side is BROADCAST only below BROADCAST_MAX_VERTICES
+    (``strategy="auto"``, same switch as pagerank.py) — above that, a
+    per-superstep |V|-row broadcast would serialize on the hash-relation
+    build and OOM executors at billion-vertex scale; the copartition
+    path shuffle-hash-joins the label table against the stationary edge
+    table instead;
   * per-superstep Parquet checkpoint → resume + lineage truncation.
 """
 
@@ -23,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from motive_spark.checkpoint import CheckpointManager
+from motive_spark.kernels.pagerank import BROADCAST_MAX_VERTICES
 
 
 def connected_components(
@@ -32,6 +39,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     big_star: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Returns (id, component) — component = min vertex id reachable.
 
@@ -41,15 +49,27 @@ def connected_components(
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = (
+    sym0 = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(npart, "src")
-        .cache()
     )
+    if strategy == "auto":
+        n = sym0.select("src").distinct().count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+    # broadcast mode: partition on src so the per-superstep groupBy(src)
+    # reuses the edge partitioning (zero exchanges per join+agg);
+    # copartition mode: partition on dst so the shuffle-hash join against
+    # the moving label table never moves the edge side.
+    sym = sym0.repartition(
+        npart, "src" if strategy == "broadcast" else "dst"
+    ).cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
+
+    def labels_side(df):
+        """The moving |V|-row side of each per-superstep join."""
+        return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     labels = verts.select("id", F.col("id").alias("component"))
@@ -63,9 +83,9 @@ def connected_components(
     n_rounds = fixed_iters if fixed_iters is not None else max_iter
     for i in range(start, n_rounds):
         # neighbor-min: min label over {self} ∪ N(v)
-        # broadcast the label side — the edge table never moves (100-TB side)
+        # the label side moves — the edge table never does (100-TB side)
         nbr_min = (
-            sym.join(F.broadcast(labels), on=[sym.dst == labels.id])
+            sym.join(labels_side(labels), on=[sym.dst == labels.id])
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
@@ -88,7 +108,7 @@ def connected_components(
             new_labels = (
                 new_labels.alias("l")
                 .join(
-                    F.broadcast(
+                    labels_side(
                         new_labels.select(
                             F.col("id").alias("rep"), F.col("component").alias("rep_c")
                         )
@@ -107,7 +127,7 @@ def connected_components(
         # carry the previous label so the convergence check reads the same
         # cached pass — no second join job per round
         new_labels = new_labels.join(
-            F.broadcast(labels.select("id", F.col("component").alias("old"))),
+            labels_side(labels.select("id", F.col("component").alias("old"))),
             on="id",
         )
         new_labels = ckpt.save(new_labels, i)

@@ -9,6 +9,11 @@ Gather-scatter shape identical to PageRank: labels ⋈ edges on one side,
 groupBy the other, argmax via a single struct-max aggregation (no window
 over a big partition).  Edge table partitioned once and cached; labels
 are the only per-round shuffle; Parquet checkpoint per superstep.
+
+The label side is BROADCAST only below BROADCAST_MAX_VERTICES
+(``strategy="auto"``, the pagerank.py switch) — above that the
+copartition path shuffle-hash-joins the |V|-row label table against the
+stationary edge table, so no per-superstep giant hash-relation build.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from motive_spark.checkpoint import CheckpointManager
+from motive_spark.kernels.pagerank import BROADCAST_MAX_VERTICES
 
 
 def label_propagation(
@@ -24,6 +30,7 @@ def label_propagation(
     iters: int = 5,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Returns (id, label) after exactly ``iters`` synchronous rounds.
 
@@ -32,15 +39,23 @@ def label_propagation(
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = (
+    sym0 = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .repartition(npart, "src")
-        .cache()
     )
+    if strategy == "auto":
+        n = sym0.select("src").distinct().count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+    sym = sym0.repartition(
+        npart, "src" if strategy == "broadcast" else "dst"
+    ).cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
+
+    def labels_side(df):
+        """The moving |V|-row side of each per-superstep join."""
+        return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     labels = verts.select("id", F.col("id").alias("label"))
@@ -52,9 +67,9 @@ def label_propagation(
             start = last + 1
 
     for i in range(start, iters):
-        # broadcast the label side — the edge table never moves (100-TB side)
+        # the label side moves — the edge table never does (100-TB side)
         votes = (
-            sym.join(F.broadcast(labels), on=[sym.dst == labels.id])
+            sym.join(labels_side(labels), on=[sym.dst == labels.id])
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

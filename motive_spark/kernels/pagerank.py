@@ -21,15 +21,21 @@ Two physical strategies, chosen by |V| (``strategy="auto"``):
   the (small) rank table against them — the edge table NEVER moves, only
   ranks shuffle.  Broadcast would serialize on building a giant hash
   relation (measured: negative scaling at |V|=1M).
+* ``csr`` (explicit): the salted CSR block layout (graph.csr), hash(src)
+  partitioned, ONE superstep exchange total.  The rank ⋈ csr join is
+  exchange-free (ranks leave the previous superstep's aggregation
+  already hash(id)-partitioned, and localCheckpoint preserves output
+  partitioning, so the shuffle-hash join reuses both partitionings);
+  totality is restored by unioning a cached zero-contribution row per
+  vertex INTO the same aggregation instead of a reinstatement join.
+  Per superstep: 1 shuffle (the contribution sum), ~|V| probe rows
+  instead of |E| join rows, and per-row neighbor arrays bounded by
+  salt_chunk for hubs.
 
-Both paths truncate lineage every superstep (Parquet when a checkpoint
+All paths truncate lineage every superstep (Parquet when a checkpoint
 dir is given — resumable mid-iteration per north_rule — else
 localCheckpoint; letting the iterated-join plan grow makes Catalyst
 analysis explode superlinearly: 2s/superstep at iter 2 → 140s at iter 8).
-
-At 1000-executor scale the remaining bottleneck is the gather shuffle
-(volume grows with partition fan-out); the CSR/2D-partitioned gather in
-motive_spark.graph.csr is the planned mitigation.
 """
 
 from __future__ import annotations
@@ -91,6 +97,24 @@ def pagerank(
             .cache()
         )
         ew.count()
+    csr = zeros = dang_ids = None
+    if strategy == "csr":
+        from motive_spark.graph.csr import build_csr
+
+        csr = build_csr(e, n_blocks=npart, partition_by="src").cache()
+        csr.count()
+        zeros = base.select(
+            F.col("id").alias("vid"), F.lit(0.0).alias("w")
+        ).cache()
+        zeros.count()
+        if has_dangling:
+            dang_ids = (
+                base.where(F.col("out_deg") == 0)
+                .select("id")
+                .repartition(npart, "id")
+                .cache()
+            )
+            dang_ids.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     start_iter = 0
@@ -113,22 +137,48 @@ def pagerank(
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
             )
-            dang_src = with_deg
-        else:
+            dang = with_deg.where(F.col("out_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+            )
+        elif strategy == "copartition":
             contribs = (
                 ew.join(ranks.hint("shuffle_hash"), on=[ranks.id == ew.src])
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
             )
-            dang_src = ranks.join(base, on="id")
-
-        new_ranks = base.join(
-            contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left"
-        ).select("id", "recv")
-        if has_dangling:
-            dang = dang_src.where(F.col("out_deg") == 0).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+            dang = (
+                ranks.join(base, on="id")
+                .where(F.col("out_deg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
             )
+        else:  # csr — single-exchange superstep
+            contrib = csr.join(
+                ranks.hint("shuffle_hash"), on=[ranks.id == csr.src]
+            ).select(
+                (F.col("rank") / F.col("out_deg")).alias("w"),
+                F.explode("dst_list").alias("vid"),
+            )
+            contribs = (
+                contrib.unionByName(zeros.select("w", "vid"))
+                .groupBy("vid")
+                .agg(F.sum("w").alias("recv"))
+            )
+            dang = (
+                ranks.join(dang_ids.hint("shuffle_hash"), on="id").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+                )
+                if has_dangling
+                else None
+            )
+
+        if strategy == "csr":
+            # zeros already make the aggregation total over all vertices
+            new_ranks = contribs.select(F.col("vid").alias("id"), "recv")
+        else:
+            new_ranks = base.join(
+                contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left"
+            ).select("id", "recv")
+        if has_dangling:
             new_ranks = new_ranks.crossJoin(F.broadcast(dang)).select(
                 "id",
                 (
@@ -163,8 +213,9 @@ def pagerank(
     # back to the source scan, still correct.
     e.unpersist()
     base.unpersist()
-    if ew is not None:
-        ew.unpersist()
+    for extra in (ew, csr, zeros, dang_ids):
+        if extra is not None:
+            extra.unpersist()
     if counters_out is not None:
         counters_out.extend(ckpt.counters)
     return ranks.select("id", "rank")

@@ -20,10 +20,11 @@ same contract as the reference's 50-bit MC tolerance tests
 Spark shape: iterations are embarrassingly parallel — ``spark.range(
 iterations).mapInPandas`` fans each seeded sample to a Python worker
 (MotifModel's DS-sampling executor pool, Compare.java:179-183, become
-Spark tasks).  The directed sampler (Fulkerson–Chen–Anstee residual
-feasibility) is ``bd_sample_log_count_directed``; the ``size_beta``
-motif-scoring API is wired for undirected graphs (directed wiring is
-the remaining step).
+Spark tasks).  ``size_beta`` scores motifs under the model both
+undirected (MotifModel.java:310-357) and directed (MotifModel.java:
+161-208, via the Fulkerson–Chen–Anstee-guarded sampler and the JOINT
+(in, out) degree-pair histogram); the structural terms come from the
+scale-out ``score_motifs_with_hists`` pass.
 """
 
 from __future__ import annotations
@@ -190,51 +191,76 @@ def beta_codelength(
     return float(seq_bits + lognormal_upper(ln_samples, alpha) / _LN2)
 
 
+def motif_beta_hist(mask: int, k: int, directed: bool):
+    """Degree histogram of the k-node motif: {deg: count} undirected,
+    {(in, out): count} joint pairs directed."""
+    from collections import Counter
+
+    from motive_spark.motifs.canon import mask_to_edges
+
+    medges = mask_to_edges(mask, k, directed)
+    if directed:
+        return dict(
+            Counter(
+                (
+                    sum(1 for x, y in medges if y == i),
+                    sum(1 for x, y in medges if x == i),
+                )
+                for i in range(k)
+            )
+        )
+    return dict(
+        Counter(sum(1 for x, y in medges if x == i or y == i) for i in range(k))
+    )
+
+
+def graph_beta_codelength(
+    spark, joint_hist, directed: bool, iterations: int = 50,
+    alpha: float = 0.05, seed: int = 42,
+) -> float:
+    """Dispatch: DS codelength of a whole graph from its degree histogram
+    ({deg: count} undirected / {(in, out): count} directed)."""
+    if directed:
+        return beta_codelength_directed(spark, joint_hist, iterations, alpha, seed)
+    return beta_codelength(spark, joint_hist, iterations, alpha, seed)
+
+
 def size_beta(
     edges,
     occurrences,
+    directed: bool = False,
     iterations: int = 50,
     alpha: float = 0.05,
     seed: int = 42,
     reset_wiring: bool = True,
+    precomputed: dict | None = None,
 ):
-    """Per-motif size/factor under the Beta model (undirected).
+    """Per-motif size/factor under the Beta model.
 
     Returns a list of dicts (canon, k, size_beta, factor_beta) — the
-    MotifModel.sizeBeta surface (MotifModel.java:310-357): motif DS bits
-    + contraction DS bits + the shared structural terms, against the
-    whole-graph DS baseline.
+    MotifModel.sizeBeta surface (MotifModel.java:161-208 directed,
+    310-357 undirected): motif DS bits + contraction DS bits + the shared
+    structural terms, against the whole-graph DS baseline.
+
+    The structural terms and the subbed degree histograms come back from
+    the scale-out ``score_motifs_with_hists`` pass — one bounded row per
+    motif; only the MC sampling loops run from the driver (each fanned
+    out over Spark tasks).
     """
-    from collections import Counter
-
-    from motive_spark.mdl.score import score_motifs
-    from motive_spark.motifs.canon import mask_to_edges
-
-    spark = edges.sparkSession
-    recs = score_motifs(
-        edges, occurrences, directed=False, reset_wiring=reset_wiring,
-        include_hists=True,
-    )
-    # whole-graph baseline histogram
     from pyspark.sql import functions as F
 
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates()
-    )
-    deg_pd = (
-        und.selectExpr("src as id").union(und.selectExpr("dst as id"))
-        .groupBy("id")
-        .count()
-        .toPandas()
-    )
-    base_hist = deg_pd.groupby("count").size().to_dict()
-    baseline = beta_codelength(spark, base_hist, iterations, alpha, seed)
+    from motive_spark.mdl.score import precompute_globals, score_motifs_with_hists
 
-    # motif masks per canon
+    spark = edges.sparkSession
+    pc = precomputed if precomputed is not None else precompute_globals(edges, directed)
+    recs = score_motifs_with_hists(
+        edges, occurrences, directed=directed, reset_wiring=reset_wiring,
+        precomputed=pc,
+    ).collect()
+    baseline = graph_beta_codelength(
+        spark, pc["joint"], directed, iterations, alpha, seed
+    )
+
     masks = {
         int(r["canon"]): (int(r["k"]), int(r["mask"]))
         for r in occurrences.groupBy("canon", "k")
@@ -243,17 +269,21 @@ def size_beta(
     }
     out = []
     for rec in recs:
-        if "subbed_hist" not in rec:
+        if rec["subbed_hist"] is None:
             continue  # max_rw-guarded motif (infinite size, no histogram)
         canon = rec["canon"]
         k, mask = masks[canon]
-        medges = mask_to_edges(mask, k, directed=False)
-        mot_hist = Counter(
-            sum(1 for x, y in medges if x == i or y == i) for i in range(k)
+        mot_hist = motif_beta_hist(mask, k, directed)
+        sub_beta = graph_beta_codelength(
+            None, mot_hist, directed, iterations, alpha, seed
         )
-        sub_beta = beta_codelength(None, mot_hist, iterations, alpha, seed)
-        subbed_hist = dict(rec["subbed_hist"])
-        subbed_beta = beta_codelength(spark, subbed_hist, iterations, alpha, seed)
+        if directed:
+            subbed_hist = {(int(i), int(o)): int(c) for i, o, c in rec["subbed_hist"]}
+        else:
+            subbed_hist = {int(d): int(c) for d, c in rec["subbed_hist"]}
+        subbed_beta = graph_beta_codelength(
+            spark, subbed_hist, directed, iterations, alpha, seed
+        )
         size = sub_beta + subbed_beta + rec["common_bits"]
         out.append(
             {
@@ -263,6 +293,9 @@ def size_beta(
                 "factor_beta": baseline - size,
             }
         )
+    if precomputed is None:
+        pc["e"].unpersist()
+        pc["deg"].unpersist()
     return out
 
 
@@ -344,3 +377,73 @@ def bd_sample_log_count_directed(
         if not stuck:
             return -(log_c + log_q)
     raise RuntimeError("directed BD sampler stranded repeatedly")
+
+
+def bd_log_count_samples_directed(
+    spark: SparkSession | None,
+    out_seq: list[int],
+    in_seq: list[int],
+    iterations: int = 50,
+    seed: int = 42,
+) -> np.ndarray:
+    """``iterations`` independent ln-count estimates for the digraph
+    count; Spark fan-out when a session is given (one seeded sample per
+    task), else a local loop."""
+    o = list(map(int, out_seq))
+    i_ = list(map(int, in_seq))
+    if spark is None or iterations <= 8:
+        rngs = [np.random.default_rng((seed, i)) for i in range(iterations)]
+        return np.array([bd_sample_log_count_directed(o, i_, r) for r in rngs])
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for it in pdf["id"]:
+                rng = np.random.default_rng((seed, int(it)))
+                out.append(bd_sample_log_count_directed(o, i_, rng))
+            yield pd.DataFrame({"ln_count": out})
+
+    df = spark.range(iterations).repartition(
+        min(iterations, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
+    rows = df.mapInPandas(run, schema="ln_count double").collect()
+    return np.array([r.ln_count for r in rows])
+
+
+def beta_codelength_directed(
+    spark: SparkSession | None,
+    joint_hist: dict[tuple[int, int], int],
+    iterations: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> float:
+    """DS-model codelength of a digraph from its joint (in, out) degree
+    histogram: L(D) (in + out marginal ML codes, the same D prior as the
+    EL model) + log2(upper-CI #digraphs with this degree-pair multiset).
+
+    The joint histogram — not the two marginals — determines the digraph
+    count (two vertices with pairs (2,0),(0,2) admit different graphs
+    than (2,2),(0,0) despite equal marginals).
+    """
+    from collections import Counter
+
+    in_seq: list[int] = []
+    out_seq: list[int] = []
+    for (i, o), c in sorted(joint_hist.items()):
+        in_seq.extend([int(i)] * int(c))
+        out_seq.extend([int(o)] * int(c))
+    in_marg = Counter(in_seq)
+    out_marg = Counter(out_seq)
+
+    def _marg_bits(marg):
+        ks = np.array(sorted(marg), dtype=np.float64)
+        cs = np.array([marg[int(k)] for k in sorted(marg)], dtype=np.float64)
+        return _degree_hist_entropy_bits(ks, cs)
+
+    seq_bits = _marg_bits(in_marg) + _marg_bits(out_marg)
+    if sum(in_seq) == 0 and sum(out_seq) == 0:
+        return float(seq_bits)
+    ln_samples = bd_log_count_samples_directed(
+        spark, out_seq, in_seq, iterations, seed
+    )
+    return float(seq_bits + lognormal_upper(ln_samples, alpha) / _LN2)

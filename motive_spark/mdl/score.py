@@ -26,9 +26,9 @@ degree histogram (subbedDegrees semantics, MotifModel.java:1192-1395).
 Final per-motif assembly runs in applyInPandas over a tall generic
 frame grouped by motif — group sizes bounded by rewired links per motif
 (the reference's --fast.max-rw guard, README.md:85-89), never by |E| or
-|V|, so the pass scales out with the motif count.  The include_hists
-path (Beta consumer) assembles driver-side because it returns python
-dict histograms.
+|V|, so the pass scales out with the motif count.  The Beta consumer
+(``score_motifs_with_hists``) shares the same executor-side assembly and
+gets the subbed degree histograms back as bounded array columns.
 """
 
 from __future__ import annotations
@@ -55,22 +55,43 @@ def _baselines(n: int, m: int, hists, directed: bool) -> dict[str, float]:
     return {"er": er, "el": el}
 
 
-def precompute_globals(edges: DataFrame, directed: bool) -> dict:
+def precompute_globals(
+    edges: DataFrame, directed: bool, simplify: bool = True
+) -> dict:
     """Normalize edges + global degrees/histograms/baselines ONCE —
     reused across every scoring pass of a search (CSE hoisting, the
     reference computes degrees/baselines once per run too:
-    CompareLarge.java:152, 188-189)."""
+    CompareLarge.java:152, 188-189).
+
+    ``simplify=False`` is the reference's non-simplified multigraph path
+    (Compare.java:140, 189-195 skips toSimple*): the edge table keeps a
+    ``mult`` multiplicity column (summing any ``mult`` already present),
+    and contraction-collapse counts downstream charge the SUM of
+    multiplicities per collapsed pair, not the link count
+    (MotifModel.java:109-133 — removal counts inherited from the raw
+    multigraph).  The ER/EL null models remain restricted to simple
+    graphs, exactly as the reference's are, so degrees/baselines always
+    describe the simplified structure; multiplicities on links not
+    incident to an instance node are uncoded on BOTH sides of the
+    factor, matching the reference's observable behavior.
+    """
+    mult_in = (
+        F.col("mult").cast("long") if "mult" in edges.columns else F.lit(1).cast("long")
+    )
     if directed:
-        e = edges.select("src", "dst").dropDuplicates()
+        base_e = edges.select("src", "dst", mult_in.alias("mult"))
     else:
-        e = (
-            edges.select(
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .where(F.col("src") != F.col("dst"))
-            .dropDuplicates()
+        base_e = edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            mult_in.alias("mult"),
+        ).where(F.col("src") != F.col("dst"))
+    if simplify:
+        e = base_e.select("src", "dst").dropDuplicates().withColumn(
+            "mult", F.lit(1).cast("long")
         )
+    else:
+        e = base_e.groupBy("src", "dst").agg(F.sum("mult").alias("mult"))
     e = e.cache()
     m = e.count()
 
@@ -87,20 +108,41 @@ def precompute_globals(edges: DataFrame, directed: bool) -> dict:
     )
     n = deg.count()
 
-    deg_pd = deg.toPandas()
+    # engine-side degree HISTOGRAM — the driver only ever sees
+    # (degree, count) rows, bounded by the max degree, never the |V|-row
+    # per-vertex table (a wiki-scale graph has 10^7 vertices but ~10^4
+    # distinct degrees)
+    def _hist(col):
+        return {
+            int(r[0]): int(r[1])
+            for r in deg.groupBy(F.col(col).alias("d")).count().collect()
+        }
+
     if directed:
-        in_hist = deg_pd.groupby("in_deg").size().to_dict()
-        out_hist = deg_pd.groupby("out_deg").size().to_dict()
-        hists = (in_hist, out_hist)
+        hists = (_hist("in_deg"), _hist("out_deg"))
+        # joint (in, out) histogram — the digraph count under the DS/Beta
+        # model depends on the multiset of degree PAIRS, not the marginals
+        joint = {
+            (int(r[0]), int(r[1])): int(r[2])
+            for r in deg.groupBy("in_deg", "out_deg").count().collect()
+        }
     else:
-        und = (deg_pd["in_deg"] + deg_pd["out_deg"]).to_numpy()
-        hists = pd.Series(und).groupby(pd.Series(und)).size().to_dict()
+        hists = {
+            int(r[0]): int(r[1])
+            for r in deg.groupBy(
+                (F.col("in_deg") + F.col("out_deg")).alias("d")
+            )
+            .count()
+            .collect()
+        }
+        joint = hists
     return {
         "e": e,
         "deg": deg,
         "n": n,
         "m": m,
         "hists": hists,
+        "joint": joint,
         "base": _baselines(n, m, hists, directed),
     }
 
@@ -111,9 +153,10 @@ def score_motifs(
     directed: bool = True,
     reset_wiring: bool = True,
     group_col: str = "canon",
-    include_hists: bool = False,
     precomputed: dict | None = None,
     max_rw: int = 500_000,
+    simplify: bool = True,
+    _with_hists: bool = False,
 ) -> DataFrame:
     """Score every motif in ``occurrences`` (canon, k, occ_id, vertices —
     node-disjoint per canon, extractor output) against the ER and EL
@@ -127,17 +170,14 @@ def score_motifs(
     if group_col != "canon":
         occurrences = occurrences.drop("canon").withColumnRenamed(group_col, "canon")
 
-    if precomputed is not None:
-        e = precomputed["e"]
-        deg = precomputed["deg"]
-        n, m = precomputed["n"], precomputed["m"]
-        hists = precomputed["hists"]
-        base = precomputed["base"]
-    else:
-        pc = precompute_globals(edges, directed)
-        e, deg = pc["e"], pc["deg"]
-        n, m = pc["n"], pc["m"]
-        hists, base = pc["hists"], pc["base"]
+    pc = (
+        precomputed
+        if precomputed is not None
+        else precompute_globals(edges, directed, simplify)
+    )
+    e, deg = pc["e"], pc["deg"]
+    n, m = pc["n"], pc["m"]
+    hists, joint, base = pc["hists"], pc["joint"], pc["base"]
 
     # membership map: vertex → (canon, occ_id, pos, rep)
     memb = occurrences.select(
@@ -165,10 +205,12 @@ def score_motifs(
     )
     t1 = e.join(ms, on="src", how="inner").select(
         F.col("canon"), F.col("src").alias("src1"), F.col("dst").alias("dst1"),
+        F.col("mult").alias("mult1"),
         "src_occ", "src_pos", "src_rep",
     )
     t2 = e.join(md, on="dst", how="inner").select(
         F.col("canon_d"), F.col("src").alias("src2"), F.col("dst").alias("dst2"),
+        F.col("mult").alias("mult2"),
         "dst_occ", "dst_pos", "dst_rep",
     )
     touched = (
@@ -185,6 +227,7 @@ def score_motifs(
             F.coalesce("canon", "canon_d").alias("canon"),
             F.coalesce("src1", "src2").alias("src"),
             F.coalesce("dst1", "dst2").alias("dst"),
+            F.coalesce("mult1", "mult2").alias("mult"),
             "src_occ",
             "src_pos",
             "src_rep",
@@ -206,6 +249,7 @@ def score_motifs(
         "canon",
         "src",
         "dst",
+        "mult",
         "src_occ",
         "src_pos",
         "dst_occ",
@@ -234,23 +278,29 @@ def score_motifs(
     )
     motif_masks = occurrences.groupBy("canon", "k").agg(F.first("mask").alias("mask"))
 
-    # wiring anchors: one per instance-side endpoint of each rewired link
+    # wiring anchors: one per instance-side endpoint of each rewired RAW
+    # link — weighting by mult makes every multigraph duplicate anchor
+    # itself (subbedGraph iterates raw links; with simplify mult == 1)
     anchors = (
         rew.where(F.col("src_in")).select(
-            "canon", F.col("src_occ").alias("occ_id"), F.col("src_pos").alias("pos")
+            "canon", F.col("src_occ").alias("occ_id"),
+            F.col("src_pos").alias("pos"), "mult",
         )
     ).unionByName(
         rew.where(F.col("dst_in")).select(
-            "canon", F.col("dst_occ").alias("occ_id"), F.col("dst_pos").alias("pos")
+            "canon", F.col("dst_occ").alias("occ_id"),
+            F.col("dst_pos").alias("pos"), "mult",
         )
     )
     anchor_counts = anchors.groupBy("canon", "occ_id", "pos").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("mult").alias("cnt")
     )
 
-    # distinct rewritten pairs with multiplicities → additions = mult-1
+    # distinct rewritten pairs with multiplicities → additions = mult-1;
+    # summing the input ``mult`` (1 when simplified) makes raw-multigraph
+    # duplicates count as removals exactly like contraction collapses
     pair_mult = rew.groupBy("canon", "pair_a", "pair_b").agg(
-        F.count(F.lit(1)).alias("mult")
+        F.sum("mult").alias("mult")
     )
     rew_stats = rew.groupBy("canon").agg(F.count(F.lit(1)).alias("touched_cnt"))
     pair_stats = pair_mult.groupBy("canon").agg(
@@ -323,46 +373,13 @@ def score_motifs(
         "n": n,
         "m": m,
         "hists": hists,
+        "joint": joint,
         "base": base,
         "directed": directed,
         "reset_wiring": reset_wiring,
-        "include_hists": include_hists,
+        "with_hists": _with_hists,
         "max_rw": max_rw,
     }
-
-    if include_hists:
-        # driver-side path: the Beta consumer needs python dict histograms
-        sums_pd = sums.toPandas()
-        anchors_pd = anchor_counts.toPandas()
-        pairs_pd = pair_mult.select("canon", "mult").toPandas()
-        delta_pd = delta.toPandas()
-        member_old_pd = member_old.toPandas()
-        rows = []
-        for rec in sums_pd.itertuples(index=False):
-            canon = int(rec.canon)
-            rows.append(
-                _assemble_motif(
-                    canon,
-                    int(rec.k),
-                    int(rec.n_occ),
-                    int(rec.intra_cnt),
-                    int(rec.touched_cnt),
-                    int(rec.distinct_pairs),
-                    int(rec.mask),
-                    anchors_pd[anchors_pd.canon == canon],
-                    pairs_pd[pairs_pd.canon == canon]["mult"].to_numpy(),
-                    delta_pd[delta_pd.canon == canon],
-                    member_old_pd[member_old_pd.canon == canon],
-                    consts,
-                )
-            )
-        if precomputed is None:
-            e.unpersist()
-            deg.unpersist()
-        memb.unpersist()
-        touched.unpersist()
-        rew.unpersist()
-        return rows
 
     # --- scale-out path: per-motif assembly in executors ------------------
     # a tall generic frame (canon, kind, c1..c10) unions the five per-motif
@@ -431,21 +448,29 @@ def score_motifs(
         )
     )
 
+    out_cols = [
+        "canon", "k", "n_occurrences", "size_er", "size_el",
+        "factor_er", "factor_el",
+    ]
     out_schema = (
         "canon long, k int, n_occurrences long, size_er double, size_el double, "
         "factor_er double, factor_el double"
     )
+    if _with_hists:
+        # subbed_hist rows: [deg, count] (undirected) / [in, out, count]
+        # (directed joint pairs) — the Beta consumer's input, emitted from
+        # the same executor-side assembly so no per-motif driver collects
+        out_cols += ["common_bits", "m_sub_graph", "n_sub", "subbed_hist"]
+        out_schema += (
+            ", common_bits double, m_sub_graph long, n_sub long, "
+            "subbed_hist array<array<long>>"
+        )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         canon = int(pdf["canon"].iloc[0])
         s = pdf[pdf.kind == 0]
         if s.empty:
-            return pd.DataFrame(
-                columns=[
-                    "canon", "k", "n_occurrences", "size_er", "size_el",
-                    "factor_er", "factor_el",
-                ]
-            )
+            return pd.DataFrame(columns=out_cols)
         srow = s.iloc[0]
         anchors = pdf[pdf.kind == 1].rename(
             columns={"c1": "occ_id", "c2": "pos", "c3": "cnt"}
@@ -475,17 +500,7 @@ def score_motifs(
             mo_,
             consts,
         )
-        return pd.DataFrame(
-            [
-                {
-                    kk: row[kk]
-                    for kk in (
-                        "canon", "k", "n_occurrences", "size_er", "size_el",
-                        "factor_er", "factor_el",
-                    )
-                }
-            ]
-        )
+        return pd.DataFrame([{kk: row.get(kk) for kk in out_cols}])
 
     result = tall.groupBy("canon").applyInPandas(assemble, schema=out_schema)
     result = result.localCheckpoint(eager=True)  # materialize before unpersists
@@ -496,6 +511,32 @@ def score_motifs(
     touched.unpersist()
     rew.unpersist()
     return result
+
+
+def score_motifs_with_hists(
+    edges: DataFrame,
+    occurrences: DataFrame,
+    directed: bool = True,
+    reset_wiring: bool = True,
+    group_col: str = "canon",
+    precomputed: dict | None = None,
+    max_rw: int = 500_000,
+) -> DataFrame:
+    """``score_motifs`` plus the Beta-consumer columns: common_bits,
+    m_sub_graph, n_sub, and the subbed degree histogram (``subbed_hist``
+    rows are [deg, count] undirected / [in, out, count] directed joint
+    pairs).  Same scale-out applyInPandas assembly — one bounded row per
+    motif comes back, never per-vertex or per-edge frames."""
+    return score_motifs(
+        edges,
+        occurrences,
+        directed=directed,
+        reset_wiring=reset_wiring,
+        group_col=group_col,
+        precomputed=precomputed,
+        max_rw=max_rw,
+        _with_hists=True,
+    )
 
 
 def _assemble_motif(
@@ -512,8 +553,7 @@ def _assemble_motif(
     member_old: pd.DataFrame,
     consts: dict,
 ) -> dict:
-    """Pure per-motif codelength assembly — shared by the driver path
-    (include_hists, Beta consumer) and the applyInPandas scale-out path.
+    """Pure per-motif codelength assembly, run inside applyInPandas.
     Input frames are that motif's slices only (bounded by max_rw)."""
     import numpy as np
 
@@ -562,9 +602,18 @@ def _assemble_motif(
     if directed:
         hist_in = dict(hists[0])
         hist_out = dict(hists[1])
+        # joint (in, out) histogram tracked in lockstep — only consumed by
+        # the Beta/DS model (digraph counts need degree PAIRS)
+        hist_joint = dict(consts["joint"]) if consts["with_hists"] else {}
+
+        def bump_j(key, v):
+            if consts["with_hists"]:
+                bump(hist_joint, key, v)
+
         for t in member_old.itertuples(index=False):  # members leave
             bump(hist_in, int(t.old_in), -1)
             bump(hist_out, int(t.old_out), -1)
+            bump_j((int(t.old_in), int(t.old_out)), -1)
         n_reps_seen = 0
         for t in delta.itertuples(index=False):
             if t.is_member and not t.is_rep:
@@ -573,15 +622,23 @@ def _assemble_motif(
                 n_reps_seen += 1
                 bump(hist_in, int(t.new_in), +1)
                 bump(hist_out, int(t.new_out), +1)
+                bump_j((int(t.new_in), int(t.new_out)), +1)
             else:  # touched outside vertex: degree adjusted
                 bump(hist_in, int(t.old_in), -1)
                 bump(hist_out, int(t.old_out), -1)
                 bump(hist_in, int(t.old_in - t.t_in + t.new_in), +1)
                 bump(hist_out, int(t.old_out - t.t_out + t.new_out), +1)
+                bump_j((int(t.old_in), int(t.old_out)), -1)
+                bump_j(
+                    (int(t.old_in - t.t_in + t.new_in),
+                     int(t.old_out - t.t_out + t.new_out)),
+                    +1,
+                )
         n_isolated_reps = n_occ - n_reps_seen
         if n_isolated_reps:  # reps with no external links: degree 0
             bump(hist_in, 0, n_isolated_reps)
             bump(hist_out, 0, n_isolated_reps)
+            bump_j((0, 0), n_isolated_reps)
         sub_er = float(er_bits(k, m_motif, directed=True))
         subbed_er = float(er_bits(n_sub, m_sub_graph, directed=True))
         mot_in: dict[int, int] = {}
@@ -632,13 +689,14 @@ def _assemble_motif(
         "factor_er": base["er"] - size_er,
         "factor_el": base["el"] - size_el,
     }
-    if consts["include_hists"]:
+    if consts["with_hists"]:
         row["common_bits"] = common
         row["m_sub_graph"] = m_sub_graph
         row["n_sub"] = n_sub
         if directed:
-            row["subbed_hist_in"] = sorted(hist_in.items())
-            row["subbed_hist_out"] = sorted(hist_out.items())
+            row["subbed_hist"] = sorted(
+                [i, o, c] for (i, o), c in hist_joint.items()
+            )
         else:
-            row["subbed_hist"] = sorted(hist_u.items())
+            row["subbed_hist"] = sorted([d, c] for d, c in hist_u.items())
     return row

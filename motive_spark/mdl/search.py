@@ -83,6 +83,27 @@ def _zero_occurrence_size(n, m, hists, mask, k, directed, model):
     return sub + subbed + labels + multi  # wiring 0, insertions 0
 
 
+def _beta_size_from_row(
+    spark, row, sub_beta_bits: float, directed: bool,
+    iterations: int, alpha: float, seed: int,
+) -> float:
+    """Beta size of one (motif, cutoff) evaluation from a
+    score_motifs_with_hists row: motif DS bits + subbed DS bits (MC
+    sampled over the row's subbed degree histogram) + structural terms."""
+    from motive_spark.mdl.beta import graph_beta_codelength
+
+    if row["subbed_hist"] is None:
+        return float("inf")  # max_rw-guarded
+    if directed:
+        subbed = {(int(i), int(o)): int(c) for i, o, c in row["subbed_hist"]}
+    else:
+        subbed = {int(d): int(c) for d, c in row["subbed_hist"]}
+    subbed_bits = graph_beta_codelength(
+        spark, subbed, directed, iterations, alpha, seed
+    )
+    return float(sub_beta_bits + subbed_bits + row["common_bits"])
+
+
 def size_with_search(
     edges: DataFrame,
     occurrences: DataFrame,
@@ -90,16 +111,27 @@ def size_with_search(
     model: str | tuple[str, ...] = "er",
     max_depth: int = -1,
     reset_wiring: bool = True,
+    beta_iterations: int = 24,
+    beta_alpha: float = 0.05,
+    beta_depth: int | None = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """Per-motif optimal (cutoff, size, factor) under ``model`` —
-    "er", "el", or a tuple of both.  With both, the two searches share
-    every batched evaluation round (score_motifs returns both sizes per
-    pass), halving the Spark jobs vs two independent searches.
+    """Per-motif optimal (cutoff, size, factor) under ``model`` — "er",
+    "el", "beta", or a tuple.  All requested models share every batched
+    evaluation round (one score_motifs pass returns the structural terms
+    for all of them), so an N-model search costs one search's Spark jobs.
+
+    "beta" runs the DS/Beta model UNDER the search — the reference's
+    MotifSearchModel.sizeBeta(…, betaSearchDepth) (Compare.java:307,
+    MotifSearchModel.java sizeBeta): its Fibonacci descent is capped at
+    ``beta_depth`` (None → ``max_depth``) because every evaluation pays a
+    fan-out MC sampling pass over the subbed degree sequence.
 
     Returns (canon, k, model, cutoff, size, factor).
     """
     spark = edges.sparkSession
     models = (model,) if isinstance(model, str) else tuple(model)
+    with_beta = "beta" in models
 
     w = Window.partitionBy("canon").orderBy("ex_degree", "occ_id")
     ranked = occurrences.withColumn("occ_rank", F.row_number().over(w)).cache()
@@ -117,17 +149,49 @@ def size_with_search(
     pc = precompute_globals(edges, directed)
     e, n, m = pc["e"], pc["n"], pc["m"]
     hists = pc["hists"]
-    baselines = pc["base"]
+    baselines = dict(pc["base"])
+
+    sub_beta: dict[int, float] = {}
+    if with_beta:
+        from motive_spark.mdl.beta import graph_beta_codelength, motif_beta_hist
+
+        # whole-graph DS codelength: the beta baseline AND the subbed term
+        # of every zero-cutoff evaluation (empty contraction == the graph)
+        baselines["beta"] = graph_beta_codelength(
+            spark, pc["joint"], directed, beta_iterations, beta_alpha, seed
+        )
+        for canon, (k, mask, _n_occ) in sorted(motif_info.items()):
+            sub_beta[canon] = graph_beta_codelength(
+                None, motif_beta_hist(mask, k, directed), directed,
+                beta_iterations, beta_alpha, seed,
+            )
+
+    # dense motif index for the batched-evaluation group key: gid =
+    # idx * 2^40 + cutoff.  Raw canonical masks reach ~2^48 for dense k>=7
+    # motifs, so encoding canon itself would overflow int64 (and collide
+    # with large cutoffs); the dense index is bounded by the motif count
+    # and cutoffs are Fibonacci numbers <= ~1.6*n_occ << 2^40.
+    _GID_BASE = 1 << 40
+    canon_list = sorted(motif_info)
+    canon_idx = {c: i for i, c in enumerate(canon_list)}
 
     # per-model caches and search states, advanced from SHARED eval rounds
     cache: dict[str, dict[tuple[int, int], float]] = {mo: {} for mo in models}
     states: dict[str, dict[int, _State]] = {mo: {} for mo in models}
+    _zero_extra = float(codes.prefix_bits(0) + codes.log2_choose(0, n)) + float(
+        codes.prefix_bits(0)
+    )  # labels + multi terms of an empty occurrence list
     for canon, (k, mask, n_occ) in motif_info.items():
         hi = n_occ if n_occ in _FIBS else _next_fib(n_occ)
         for mo in models:
-            cache[mo][(canon, 0)] = _zero_occurrence_size(
-                n, m, hists, mask, k, directed, mo
-            )
+            if mo == "beta":
+                cache[mo][(canon, 0)] = (
+                    sub_beta[canon] + baselines["beta"] + _zero_extra
+                )
+            else:
+                cache[mo][(canon, 0)] = _zero_occurrence_size(
+                    n, m, hists, mask, k, directed, mo
+                )
             states[mo][canon] = _State(0, hi)
 
     def want_cutoffs(st: _State) -> list[int]:
@@ -137,13 +201,19 @@ def size_with_search(
         r0 = _prev_fib(rng)
         return [st.hi - r0, st.lo + r0]
 
+    def _depth_cap(mo: str) -> int:
+        if mo == "beta" and beta_depth is not None:
+            return beta_depth
+        return max_depth
+
     while True:
         pending: set[tuple[int, int]] = set()
         for mo in models:
+            cap = _depth_cap(mo)
             for canon, st in states[mo].items():
                 if st.done:
                     continue
-                if max_depth >= 0 and st.depth > max_depth:
+                if cap >= 0 and st.depth > cap:
                     st.done = True
                     continue
                 for c in want_cutoffs(st):
@@ -151,29 +221,36 @@ def size_with_search(
                     if (canon, c_eff) not in cache[mo] and c_eff > 0:
                         pending.add((canon, c_eff))
         if pending:
+            assert all(c < _GID_BASE for _, c in pending)
             pend_df = spark.createDataFrame(
-                sorted(pending), "canon long, cutoff long"
+                [(cn, ct, canon_idx[cn] * _GID_BASE + ct) for cn, ct in sorted(pending)],
+                "canon long, cutoff long, gid long",
             )
             subset = ranked.join(pend_df, on="canon").where(
                 F.col("occ_rank") <= F.col("cutoff")
             )
-            keyed = subset.withColumn(
-                "gid", F.col("canon") * F.lit(10**6) + F.col("cutoff")
-            )
             res = score_motifs(
                 e,
-                keyed.select(
+                subset.select(
                     "gid", "k", "occ_id", "vertices", "mask", "ex_degree"
                 ),
                 directed=directed,
                 reset_wiring=reset_wiring,
                 group_col="gid",
                 precomputed=pc,
+                _with_hists=with_beta,
             ).collect()
             for r in res:
-                canon, cutoff = divmod(int(r["canon"]), 10**6)
+                idx, cutoff = divmod(int(r["canon"]), _GID_BASE)
+                canon = canon_list[idx]
                 for mo in models:
-                    cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
+                    if mo == "beta":
+                        cache[mo][(canon, cutoff)] = _beta_size_from_row(
+                            spark, r, sub_beta[canon], directed,
+                            beta_iterations, beta_alpha, seed,
+                        )
+                    else:
+                        cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
 
         all_done = True
         for mo in models:

@@ -143,7 +143,12 @@ def induced_masks(
             F.least("src", "dst").alias("vi"), F.greatest("src", "dst").alias("vj")
         ).dropDuplicates()
     else:
-        e = edges.select(F.col("src").alias("vi"), F.col("dst").alias("vj"))
+        # dropDuplicates matches the undirected branch: duplicate input
+        # edges would otherwise make the bit-sum carry (2^b + 2^b = 2^(b+1))
+        # and silently corrupt the adjacency mask
+        e = edges.select(
+            F.col("src").alias("vi"), F.col("dst").alias("vj")
+        ).dropDuplicates()
     hits = pairs.join(e, on=["vi", "vj"]).select(
         "occ_id",
         "k",

@@ -25,17 +25,23 @@ def naive_score(
     k: int,
     directed: bool,
     reset_wiring: bool = True,
+    mult: dict | None = None,
 ) -> dict:
     """Full naive contraction + codelengths.
 
     ``pairs``: the graph's simple edges (directed as given, or arbitrary
     orientation if undirected).  ``occurrences``: node-disjoint vertex
     lists (sorted).  ``motif_edges``: local 0-based motif edge list.
+    ``mult``: optional multigraph multiplicity per simple pair (the
+    non-simplified path, MotifModel.java:109-133: every raw duplicate
+    contributes its own wiring anchors and removal counts).
     """
     if directed:
         edges = sorted(set(pairs))
     else:
         edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    mult = dict(mult or {})
+    wt = {e: int(mult.get(e, 1)) for e in edges}
     verts = sorted({x for e in edges for x in e})
     n, m = len(verts), len(edges)
 
@@ -48,8 +54,8 @@ def naive_score(
             rep[v] = occ[0]
             pos[v] = p
 
-    # explicit contraction
-    sub_edges = []  # rewritten multigraph edge list (non-intra)
+    # explicit contraction (each raw duplicate rewired independently)
+    pair_mult: Counter = Counter()
     wiring = [[] for _ in occurrences]
     for a, b in edges:
         ain, bin_ = a in member, b in member
@@ -59,13 +65,11 @@ def naive_score(
         nb = rep[b] if bin_ else b
         if not directed:
             na, nb = min(na, nb), max(na, nb)
-        sub_edges.append((na, nb))
+        pair_mult[(na, nb)] += wt[(a, b)]
         if ain:
-            wiring[member[a]].append(pos[a])
+            wiring[member[a]].extend([pos[a]] * wt[(a, b)])
         if bin_:
-            wiring[member[b]].append(pos[b])
-
-    pair_mult = Counter(sub_edges)
+            wiring[member[b]].extend([pos[b]] * wt[(a, b)])
     simple_sub = sorted(pair_mult)
     n_sub = n - sum(len(o) - 1 for o in occurrences)
     m_sub_graph = len(simple_sub)

@@ -129,6 +129,33 @@ def test_triangles_random(spark, seed):
     )
 
 
+def test_cc_lp_copartition_strategy_matches_broadcast(spark):
+    # the >BROADCAST_MAX_VERTICES physical path, forced explicitly: same
+    # labels, different join strategy (no |V|-row broadcast per superstep)
+    from motive_spark.kernels import connected_components, label_propagation
+
+    pairs = random_pairs(60, 150, seed=5, directed=False)
+    e = edges_df(spark, pairs)
+    cc_b = {
+        r["id"]: r["component"]
+        for r in connected_components(e, strategy="broadcast").collect()
+    }
+    cc_c = {
+        r["id"]: r["component"]
+        for r in connected_components(e, strategy="copartition").collect()
+    }
+    assert cc_b == cc_c == py_components(pairs)
+    lp_b = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, iters=3, strategy="broadcast").collect()
+    }
+    lp_c = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, iters=3, strategy="copartition").collect()
+    }
+    assert lp_b == lp_c
+
+
 def test_label_propagation_deterministic(spark):
     from motive_spark.kernels import label_propagation
 

@@ -132,6 +132,76 @@ def test_fast_vs_slow_equivalence(spark, directed, seed):
     assert math.isclose(got.factor_el, want["factor_el"], abs_tol=1e-6)
 
 
+@pytest.mark.parametrize("directed", [False, True])
+def test_fast_vs_slow_multigraph(spark, directed):
+    """Non-simplified path (simplify=False): raw multigraph duplicates
+    charge the multi-edges bucket and wiring anchors exactly like the
+    naive weighted contraction (Compare.java:140 simplify flag,
+    MotifModel.java:109-133)."""
+    from motive_spark.mdl.score import score_motifs
+    from tests.mdl_oracle import naive_score
+
+    rng = random.Random(29)
+    pairs = random_pairs(24, 70, 29, directed=directed)
+    if not directed:
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    mult = {p: rng.choice([1, 1, 2, 3]) for p in pairs}
+
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    occs = []
+    used: set = set()
+    for v in sorted(sym):
+        if v in used:
+            continue
+        for u in sorted(sym[v]):
+            if u not in used and u != v:
+                third = sorted((sym[v] | sym[u]) - {v, u} - used)
+                if third:
+                    occs.append(sorted([v, u, third[0]]))
+                    used.update(occs[-1])
+                    break
+        if occs:
+            break
+    assert occs, "fixture graph must contain a connected triple"
+
+    def induced(o):
+        local = {v: i for i, v in enumerate(o)}
+        out = set()
+        for a, b in pairs:
+            if a in local and b in local:
+                e = (local[a], local[b]) if directed else tuple(
+                    sorted((local[a], local[b]))
+                )
+                out.add(e)
+        return sorted(out)
+
+    motif_edges = induced(occs[0])
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    mask = edges_to_mask(motif_edges, 3, directed)
+    canon = canonical_form(mask, 3)
+    edges_df_m = spark.createDataFrame(
+        [(a, b, mult[(a, b)]) for a, b in pairs], "src long, dst long, mult long"
+    )
+    occ_df = spark.createDataFrame(
+        [(canon, 3, i, [int(v) for v in o], mask) for i, o in enumerate(occs)],
+        "canon long, k int, occ_id long, vertices array<long>, mask long",
+    )
+    got = score_motifs(
+        edges_df_m, occ_df, directed=directed, simplify=False
+    ).collect()[0]
+    want = naive_score(pairs, occs, motif_edges, 3, directed, mult=mult)
+    assert math.isclose(got.size_er, want["size_er"], abs_tol=1e-6)
+    assert math.isclose(got.size_el, want["size_el"], abs_tol=1e-6)
+    # and the simplified path must NOT equal it (the duplicates matter)
+    got_simple = score_motifs(edges_df_m, occ_df, directed=directed).collect()[0]
+    if any(m > 1 for m in mult.values()):
+        assert abs(got_simple.size_er - got.size_er) > 1e-9
+
+
 def test_hand_computed_contraction(spark):
     """Two triangles sharing nothing, bridged by one edge — contraction
     sizes checkable by hand (MotifCompressorTest.java:143-185 style)."""
