@@ -441,6 +441,54 @@ def q_motif_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("motif")
 
 
+def q_motif_k3_er_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDL arithmetic pinned cross-engine (A9/A10): for each exhaustive
+    k=3 motif class, the ER codelength of the motif graph, the labels
+    term over the real census count, and the shared ER baseline —
+    closed-form lgamma expressions evaluated over distributed census
+    counts (codes.prefix_bits/log2_choose ≡ the DuckDB lgamma oracle).
+    Only the census aggregates (2 rows + n + m) touch the driver."""
+    from motive_spark.graph import degrees
+    from motive_spark.kernels import triangle_count
+    from motive_spark.mdl import codes
+    from motive_spark.mdl.models import er_bits
+
+    und = _und(spark, sf_dir).cache()
+    m = und.count()
+    deg = degrees(und, directed=False)
+    n = deg.count()
+    tri = triangle_count(und).collect()[0][0]
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("w")
+    ).collect()[0][0]
+    census = [("path", 2, int(wedges - 3 * tri)), ("triangle", 3, int(tri))]
+    base_er = float(er_bits(n, m, directed=False))
+    rows = [
+        (
+            motif,
+            n_occ,
+            round(float(er_bits(3, m_motif, directed=False)), 4),
+            # labels term at the largest REALIZABLE disjoint occurrence
+            # count (node-disjoint k=3 instances cannot exceed n/3; the
+            # raw census counts overlapping subgraphs)
+            round(
+                float(
+                    codes.prefix_bits(n_occ)
+                    + codes.log2_choose(min(n_occ, n // 3), n)
+                ),
+                4,
+            ),
+            round(base_er, 4),
+        )
+        for motif, m_motif, n_occ in census
+    ]
+    return spark.createDataFrame(
+        rows,
+        "motif string, n_occ long, sub_er double, labels_bits double, "
+        "er_baseline double",
+    ).orderBy("motif")
+
+
 def _simhash_sql() -> str:
     votes = ", ".join(
         f"SUM(2 * ((strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) % 2) - 1) AS s{j}"
@@ -560,6 +608,7 @@ _DATAPIPE_QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "multimodal_features": q_multimodal_features,
     "motif_triad_census": q_motif_triad_census,
+    "motif_k3_er_factors": q_motif_k3_er_factors,
 }
 
 _DATAPIPE_ORACLES = {
@@ -635,6 +684,39 @@ w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg)
 SELECT 'path' AS motif, (SELECT w FROM w) - 3 * (SELECT t FROM tri) AS n
 UNION ALL
 SELECT 'triangle' AS motif, (SELECT t FROM tri) AS n
+ORDER BY motif"""
+    ),
+    "motif_k3_er_factors": (
+        "WITH "
+        + SQL_GRAPH
+        + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+tri AS (
+  SELECT COUNT(*) AS t FROM und a
+  JOIN und b ON a.src = b.src AND a.dst < b.dst
+  JOIN und c ON c.src = a.dst AND c.dst = b.dst
+),
+w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS w FROM deg),
+nm AS (SELECT (SELECT COUNT(*) FROM verts) AS n, (SELECT COUNT(*) FROM und) AS m),
+census AS (
+  SELECT 'path' AS motif, 2.0 AS m_motif,
+         CAST((SELECT w FROM w) - 3 * (SELECT t FROM tri) AS BIGINT) AS n_occ
+  UNION ALL
+  SELECT 'triangle', 3.0, CAST((SELECT t FROM tri) AS BIGINT)
+)
+SELECT motif, n_occ,
+  ROUND(5 + LOG2(4) +
+        (lgamma(4.0) - lgamma(m_motif + 1) - lgamma(4.0 - m_motif)) / LN(2),
+        4) AS sub_er,
+  ROUND(2 * FLOOR(LOG2(n_occ + 1.0)) + 1 +
+        (lgamma(n + 1.0) - lgamma(LEAST(n_occ, n // 3) + 1.0)
+         - lgamma(n - LEAST(n_occ, n // 3) + 1.0)) / LN(2),
+        4) AS labels_bits,
+  ROUND(2 * FLOOR(LOG2(n + 1.0)) + 1 + LOG2(n * (n - 1.0) / 2 + 1) +
+        (lgamma(n * (n - 1.0) / 2 + 1) - lgamma(m + 1.0)
+         - lgamma(n * (n - 1.0) / 2 - m + 1.0)) / LN(2),
+        4) AS er_baseline
+FROM census, nm
 ORDER BY motif"""
     ),
 }

@@ -65,6 +65,8 @@ def run_bench() -> dict:
     extra_queries = _extra_benches(spark)
     timings.update(extra_queries)
 
+    canon_rate = _canon_throughput()
+
     total = round(sum(timings.values()), 3)
     supersteps = PR_ITERS + LP_ITERS  # fixed-iteration kernels
     result = {
@@ -77,6 +79,9 @@ def run_bench() -> dict:
         "edges": m,
         "edges_per_sec": round(m_sym * PR_ITERS / timings["pagerank"], 1),
         "pagerank_supersteps_per_sec": round(PR_ITERS / timings["pagerank"], 3),
+        # single-core numpy canonizer rate vs the reference's ~417
+        # samples/s nauty-backed pipeline rate (README.md:118)
+        "canon_samples_per_sec": canon_rate,
     }
     spark.stop()
     return result
@@ -100,6 +105,22 @@ def _extra_benches(spark) -> dict[str, float]:
     except Exception:  # noqa: BLE001 — extras must never sink the bench
         pass
     return timings
+
+
+def _canon_throughput(n_samples: int = 200_000, k: int = 5) -> float:
+    """Canonization samples/sec of the vectorized permutation-table
+    canonizer (single driver core, the unit the reference reports:
+    ~417 samples/s including sampling, README.md:118)."""
+    import numpy as np
+
+    from motive_spark.motifs.canon import canonical_batch
+
+    rng = np.random.default_rng(7)
+    masks = rng.integers(0, 1 << (k * k), size=n_samples, dtype=np.uint64)
+    canonical_batch(masks[:1000], k)  # warm the permutation table cache
+    t0 = time.time()
+    canonical_batch(masks, k)
+    return round(n_samples / (time.time() - t0), 1)
 
 
 def _sf_from_dir(d: str) -> float:

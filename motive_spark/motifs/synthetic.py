@@ -31,22 +31,73 @@ def inject_motifs(
     n_noise: int = 200,
     m_noise: int = 400,
     seed: int = 42,
+    max_degree: int = 5,
 ) -> DataFrame:
-    """ER noise graph with ``n_instances`` disjoint copies of the motif
-    wired in, each attached to a random noise vertex (Synthetic.java's
-    low-degree instance placement, :174-220, simplified to fresh
-    vertices — occurrences are exactly the planted copies)."""
+    """ER noise graph with ``n_instances`` copies of the motif wired in
+    by the reference's instance placement (Synthetic.java:174-220):
+    pick ``n_instances`` random noise vertices of degree <= ``max_degree``,
+    REPLACE each with a fresh k-node motif copy, and rewire every
+    external link of the replaced vertex to a motif position drawn from
+    one shared random multinomial — the exact generative inverse of the
+    MDL contraction, so recovery is a real statistical test (the planted
+    copies inherit realistic external wiring instead of a single anchor
+    edge).
+
+    Instance vertex ids are ``n_noise + k*i + j``; occurrences are
+    exactly the planted copies."""
     rng = _random.Random(seed)
     noise = [
         (r["src"], r["dst"])
         for r in random_edges(spark, n_noise, m_noise, seed=seed, directed=False).collect()
     ]
-    pairs = set(noise)
-    for i in range(n_instances):
-        vs = [n_noise + k * i + j for j in range(k)]
+    adj: dict[int, set[int]] = {}
+    pairs: set[tuple[int, int]] = set()
+    for a, b in noise:
+        if a == b:
+            continue
+        pairs.add((min(a, b), max(a, b)))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    candidates = sorted(
+        v for v in range(n_noise) if len(adj.get(v, ())) <= max_degree
+    )
+    if len(candidates) < n_instances:
+        raise ValueError(
+            f"only {len(candidates)} nodes with degree <= {max_degree}, "
+            f"need {n_instances} instances"
+        )
+    instances = rng.sample(candidates, n_instances)
+
+    # one shared random multinomial over motif positions
+    # (Functions.randomMultinomial(nPrime), Synthetic.java:193)
+    raw = [rng.random() for _ in range(k)]
+    tot = sum(raw)
+    probs = [p / tot for p in raw]
+
+    def choose_pos() -> int:
+        x = rng.random()
+        acc = 0.0
+        for i, p in enumerate(probs):
+            acc += p
+            if x <= acc:
+                return i
+        return k - 1
+
+    for i, v in enumerate(instances):
+        new = [n_noise + k * i + j for j in range(k)]
         for a, b in motif_edges:
-            pairs.add((min(vs[a], vs[b]), max(vs[a], vs[b])))
-        pairs.add((rng.randrange(n_noise), vs[0]))
+            pairs.add((min(new[a], new[b]), max(new[a], new[b])))
+        for j in range(1, k):
+            adj.setdefault(new[j], set())
+        for u in sorted(adj.get(v, set())):
+            pairs.discard((min(v, u), max(v, u)))
+            t = new[choose_pos()]
+            pairs.add((min(u, t), max(u, t)))
+            adj[u].discard(v)
+            adj[u].add(t)
+            adj.setdefault(t, set()).add(u)
+        adj.pop(v, None)
     return spark.createDataFrame(sorted(pairs), "src long, dst long")
 
 

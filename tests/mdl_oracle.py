@@ -88,6 +88,7 @@ def naive_score(
             ind[b] += 1
         hist_in = Counter(ind[v] for v in sub_verts)
         hist_out = Counter(outd[v] for v in sub_verts)
+        joint = Counter((ind[v], outd[v]) for v in sub_verts)
     else:
         for a, b in simple_sub:
             degc[a] += 1
@@ -159,4 +160,8 @@ def naive_score(
         "m_sub": m_sub_graph,
         "wiring": wiring_bits,
         "multi": multi_bits,
+        "common": float(common),
+        # subbed degree histogram for the Beta/DS consumer: joint (in,
+        # out) pairs when directed, plain degrees otherwise
+        "subbed_hist": dict(joint) if directed else dict(hist_u),
     }

@@ -143,3 +143,92 @@ def test_bd_directed_matches_exact_count(out_seq, in_seq):
     )
     est = float(np.mean(np.exp(ln)))
     assert math.isclose(est, want, rel_tol=0.15), (out_seq, in_seq, est, want)
+
+
+def test_size_beta_directed_matches_naive_oracle(spark):
+    """Directed Beta scoring == naive weighted contraction: same joint
+    (in, out) subbed histogram -> same seeded sampler draws -> sizes
+    agree to float tolerance (MotifModel.java:161-208 path)."""
+    from tests.conftest import edges_df
+    from tests.mdl_oracle import naive_score
+    from tests.test_kernels import random_pairs
+    from motive_spark.mdl.beta import (
+        beta_codelength_directed,
+        motif_beta_hist,
+        size_beta,
+    )
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    pairs = random_pairs(20, 60, seed=17, directed=True)
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    occ = None
+    for v in sorted(sym):
+        for u in sorted(sym[v]):
+            third = sorted((sym[v] | sym[u]) - {v, u})
+            if third:
+                occ = sorted([v, u, third[0]])
+                break
+        if occ:
+            break
+    assert occ is not None
+
+    local = {v: i for i, v in enumerate(occ)}
+    motif_edges = sorted(
+        {(local[a], local[b]) for a, b in pairs if a in local and b in local}
+    )
+    mask = edges_to_mask(motif_edges, 3, True)
+    canon = canonical_form(mask, 3)
+    e_df = edges_df(spark, pairs)
+    occ_df = spark.createDataFrame(
+        [(canon, 3, 0, [int(v) for v in occ], mask)],
+        "canon long, k int, occ_id long, vertices array<long>, mask long",
+    )
+    got = size_beta(e_df, occ_df, directed=True, iterations=12, seed=5)
+    assert len(got) == 1
+
+    want_struct = naive_score(pairs, [occ], motif_edges, 3, True)
+    sub_bits = beta_codelength_directed(
+        None, motif_beta_hist(mask, 3, True), iterations=12, seed=5
+    )
+    subbed_bits = beta_codelength_directed(
+        spark, want_struct["subbed_hist"], iterations=12, seed=5
+    )
+    want_size = sub_bits + subbed_bits + want_struct["common"]
+    assert math.isclose(got[0]["size_beta"], want_size, abs_tol=1e-6), (
+        got[0]["size_beta"],
+        want_size,
+    )
+
+
+def test_beta_under_fibonacci_search(spark):
+    """Beta runs under the occurrence-prefix search (Compare.java:307):
+    rows exist for model='beta', the zero cutoff is always sampled, and
+    the chosen size is <= the zero-cutoff size."""
+    from tests.conftest import edges_df
+    from tests.test_kernels import random_pairs
+    from motive_spark.mdl.search import size_with_search
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = set(random_pairs(40, 80, seed=23, directed=False))
+    for i in range(6):  # plant triangles so something compresses
+        vs = [40 + 3 * i + j for j in range(3)]
+        pairs.update(
+            [(vs[0], vs[1]), (vs[0], vs[2]), (vs[1], vs[2]), (i, vs[0])]
+        )
+    edges = edges_df(spark, sorted(pairs))
+    ex = MotifExtractor(edges, samples=600, min_size=3, max_size=3, directed=False)
+    occ = ex.occurrences()
+    res = size_with_search(
+        edges, occ, directed=False, model=("er", "beta"),
+        max_depth=4, beta_iterations=8, beta_depth=2, seed=11,
+    ).collect()
+    by_model = {}
+    for r in res:
+        by_model.setdefault(r["model"], []).append(r)
+    assert set(by_model) == {"er", "beta"}
+    assert len(by_model["beta"]) == len(by_model["er"])
+    for r in by_model["beta"]:
+        assert math.isfinite(r["size"]) and r["cutoff"] >= 0

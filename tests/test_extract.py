@@ -85,3 +85,22 @@ def test_pagerank_over_extracted_graph(spark):
     ranks = {r.id: r.rank for r in pr.collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     assert len(ranks) == vmap.count()
+
+
+def test_normalize_ids_two_phase_no_global_window(spark):
+    """Dense ids == global sorted rank, with NO single-partition exchange
+    in the physical plan (the two-phase per-partition-offset assignment)."""
+    from motive_spark.graph.normalize import normalize_ids
+
+    rows = [(f"k{i:03d}", f"k{j:03d}") for i in range(50) for j in (i + 1, i + 7)]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    dense, vmap = normalize_ids(edges)
+    got = {r["orig_key"]: r["id"] for r in vmap.collect()}
+    keys = sorted({x for r in rows for x in r})
+    want = {k: i for i, k in enumerate(keys)}
+    assert got == want
+    plan = vmap._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # determinism across a second invocation
+    _, vmap2 = normalize_ids(edges)
+    assert {r["orig_key"]: r["id"] for r in vmap2.collect()} == want
