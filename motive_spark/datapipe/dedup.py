@@ -40,7 +40,11 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
     dropDuplicates shuffle either.  The DuckDB oracle keeps the
     positional-self-join formulation; both produce the same gram set.
     """
-    toks = F.split(F.col("text"), " ")
+    # project the token array FIRST: referencing the split() subtree
+    # inside the transform lambda would re-evaluate it per window element
+    # (no CSE inside lambda bodies — measured 2x slower)
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     n_win = F.size(toks) - F.lit(n - 1)
     idx = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
         F.array().cast("array<int>")
@@ -51,7 +55,7 @@ def word_ngrams(docs: DataFrame, n: int = 3) -> DataFrame:
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return docs.select(
+    return toked.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
 

@@ -108,7 +108,10 @@ def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFram
     the k lexicographically smallest — a winnowing-style content sketch
     robust to local edits.  Returns (doc_id, fingerprint: array<string>).
     """
-    toks = F.split(F.col("text"), " ")
+    # token array projected first — a split() subtree referenced inside
+    # the transform lambda re-evaluates per window (no CSE in lambdas)
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - gram, F.lit(0)))
     grams = F.transform(
         idx,
@@ -116,7 +119,7 @@ def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFram
             F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(gram)])
         ),
     )
-    return docs.select(
+    return toked.select(
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(grams)), 1, k).alias("fingerprint"),
     )

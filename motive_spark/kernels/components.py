@@ -49,27 +49,37 @@ def connected_components(
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym0 = (
+    # partitioned on dst once: the per-superstep gather joins on sym.dst,
+    # so in copartition mode the edge side never moves; the auto-switch
+    # vertex count reads this same cache (no second symmetrize pass)
+    sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition(npart, "dst")
+        .cache()
     )
-    if strategy == "auto":
-        n = sym0.select("src").distinct().count()
-        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
-    # broadcast mode: partition on src so the per-superstep groupBy(src)
-    # reuses the edge partitioning (zero exchanges per join+agg);
-    # copartition mode: partition on dst so the shuffle-hash join against
-    # the moving label table never moves the edge side.
-    sym = sym0.repartition(
-        npart, "src" if strategy == "broadcast" else "dst"
-    ).cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
+    if strategy == "auto":
+        n = verts.count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
     def labels_side(df):
         """The moving |V|-row side of each per-superstep join."""
         return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
+
+    csr = None
+    if strategy == "csr":
+        # salted CSR blocks of the SYMMETRIC adjacency, hash(src)
+        # partitioned: the label ⋈ csr join is exchange-free (labels leave
+        # each superstep's min-aggregation hash(id)-partitioned), and the
+        # self-label union folds reinstatement into the same single
+        # aggregation — one exchange per superstep (pagerank.py pattern)
+        from motive_spark.graph.csr import build_csr
+
+        csr = build_csr(sym, n_blocks=npart, partition_by="src").cache()
+        csr.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     labels = verts.select("id", F.col("id").alias("component"))
@@ -84,20 +94,31 @@ def connected_components(
     for i in range(start, n_rounds):
         # neighbor-min: min label over {self} ∪ N(v)
         # the label side moves — the edge table never does (100-TB side)
-        nbr_min = (
-            sym.join(labels_side(labels), on=[sym.dst == labels.id])
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(nbr_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+        if strategy == "csr":
+            cand = csr.join(
+                labels.hint("shuffle_hash"), on=[labels.id == csr.src]
+            ).select(F.explode("dst_list").alias("id"), "component")
+            new_labels = (
+                cand.unionByName(labels.select("id", "component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
             )
-        )
+        else:
+            nbr_min = (
+                sym.join(labels_side(labels), on=[sym.dst == labels.id])
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            new_labels = (
+                labels.join(nbr_min, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+            )
         pre_jump = None
         if big_star:
             # pointer-jumping shortcut: label(v) <- label(label(v)) —
@@ -142,4 +163,6 @@ def connected_components(
         else:
             labels = new_labels.select("id", "component")
     sym.unpersist()
+    if csr is not None:
+        csr.unpersist()
     return labels.select("id", "component")

@@ -39,23 +39,34 @@ def label_propagation(
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym0 = (
+    # partitioned on dst once (the gather key); the auto-switch vertex
+    # count reads this same cache — no second symmetrize pass
+    sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition(npart, "dst")
+        .cache()
     )
-    if strategy == "auto":
-        n = sym0.select("src").distinct().count()
-        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
-    sym = sym0.repartition(
-        npart, "src" if strategy == "broadcast" else "dst"
-    ).cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
+    if strategy == "auto":
+        n = verts.count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
     def labels_side(df):
         """The moving |V|-row side of each per-superstep join."""
         return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
+
+    csr = None
+    if strategy == "csr":
+        # salted CSR blocks of the symmetric adjacency (pagerank.py
+        # pattern): exchange-free label ⋈ csr join; two exchanges per
+        # superstep (vote count by (id, label), then argmax by id)
+        from motive_spark.graph.csr import build_csr
+
+        csr = build_csr(sym, n_blocks=npart, partition_by="src").cache()
+        csr.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     labels = verts.select("id", F.col("id").alias("label"))
@@ -68,11 +79,19 @@ def label_propagation(
 
     for i in range(start, iters):
         # the label side moves — the edge table never does (100-TB side)
-        votes = (
-            sym.join(labels_side(labels), on=[sym.dst == labels.id])
-            .groupBy(F.col("src").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        if strategy == "csr":
+            votes = (
+                csr.join(labels.hint("shuffle_hash"), on=[labels.id == csr.src])
+                .select(F.explode("dst_list").alias("id"), "label")
+                .groupBy("id", "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+        else:
+            votes = (
+                sym.join(labels_side(labels), on=[sym.dst == labels.id])
+                .groupBy(F.col("src").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         # argmax by (cnt desc, label asc): max of struct(cnt, -label)
         new_labels = (
             votes.groupBy("id")
@@ -87,4 +106,6 @@ def label_propagation(
         )
         labels = ckpt.save(new_labels.repartition(npart, "id"), i)
     sym.unpersist()
+    if csr is not None:
+        csr.unpersist()
     return labels.select("id", "label")

@@ -18,10 +18,16 @@ def test_csr_roundtrip_and_salting(spark):
     csr = build_csr(edges, salt_chunk=5)  # tiny chunk → forced salting
     back = {(r.src, r.dst) for r in csr_to_edges(csr).collect()}
     assert back == set(pairs)
-    # hubs split into multiple salt rows
+    # hubs split into multiple salt rows of at most salt_chunk neighbors
     max_salt = csr.agg(F.max("salt")).collect()[0][0]
     assert max_salt >= 1
     assert csr.agg(F.max("deg_part")).collect()[0][0] <= 5
+    # every multi-salt src must carry its TOTAL degree in out_deg
+    tot = {r.src: r.out_deg for r in csr.collect()}
+    want_deg = {}
+    for a, _ in pairs:
+        want_deg[a] = want_deg.get(a, 0) + 1
+    assert tot == want_deg
     # two-phase degrees equal plain degrees
     want = {}
     for a, _ in pairs:

@@ -129,31 +129,31 @@ def test_triangles_random(spark, seed):
     )
 
 
-def test_cc_lp_copartition_strategy_matches_broadcast(spark):
-    # the >BROADCAST_MAX_VERTICES physical path, forced explicitly: same
-    # labels, different join strategy (no |V|-row broadcast per superstep)
+def test_cc_lp_strategies_match(spark):
+    # every physical path — broadcast (small |V|), copartition (the
+    # >BROADCAST_MAX_VERTICES plan, no |V|-row broadcast per superstep),
+    # and csr (single-exchange superstep over salted CSR blocks) —
+    # produces identical labels
     from motive_spark.kernels import connected_components, label_propagation
 
     pairs = random_pairs(60, 150, seed=5, directed=False)
     e = edges_df(spark, pairs)
-    cc_b = {
-        r["id"]: r["component"]
-        for r in connected_components(e, strategy="broadcast").collect()
+    cc = {
+        s: {
+            r["id"]: r["component"]
+            for r in connected_components(e, strategy=s).collect()
+        }
+        for s in ("broadcast", "copartition", "csr")
     }
-    cc_c = {
-        r["id"]: r["component"]
-        for r in connected_components(e, strategy="copartition").collect()
+    assert cc["broadcast"] == cc["copartition"] == cc["csr"] == py_components(pairs)
+    lp = {
+        s: {
+            r["id"]: r["label"]
+            for r in label_propagation(e, iters=3, strategy=s).collect()
+        }
+        for s in ("broadcast", "copartition", "csr")
     }
-    assert cc_b == cc_c == py_components(pairs)
-    lp_b = {
-        r["id"]: r["label"]
-        for r in label_propagation(e, iters=3, strategy="broadcast").collect()
-    }
-    lp_c = {
-        r["id"]: r["label"]
-        for r in label_propagation(e, iters=3, strategy="copartition").collect()
-    }
-    assert lp_b == lp_c
+    assert lp["broadcast"] == lp["copartition"] == lp["csr"]
 
 
 def test_label_propagation_deterministic(spark):
