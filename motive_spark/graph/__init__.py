@@ -1,3 +1,4 @@
+from motive_spark.graph.gml import read_gml, write_gml
 from motive_spark.graph.normalize import (
     degrees,
     normalize_ids,
@@ -6,4 +7,12 @@ from motive_spark.graph.normalize import (
     vertices,
 )
 
-__all__ = ["normalize_ids", "simplify", "degrees", "undirect", "vertices"]
+__all__ = [
+    "normalize_ids",
+    "simplify",
+    "degrees",
+    "undirect",
+    "vertices",
+    "read_gml",
+    "write_gml",
+]

@@ -84,7 +84,11 @@ def pagerank(
         return spark.createDataFrame([], "id long, rank double")
     has_dangling = base.where(F.col("out_deg") == 0).limit(1).count() > 0
     if strategy == "auto":
-        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+        # large graphs: the CSR single-exchange plan measured strictly
+        # better than copartition (2.8x faster supersteps at 16 cores,
+        # 0.9+ vs 0.34 scaling efficiency); its one-time build amortizes
+        # over the iteration count.  copartition remains selectable.
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "csr"
 
     ew = None
     if strategy == "copartition":

@@ -89,6 +89,27 @@ def mask_to_edges(mask: int, k: int, directed: bool) -> list[tuple[int, int]]:
     return out
 
 
+@F.pandas_udf(T.StringType())
+def canonical_labeled_udf(
+    mask: pd.Series, k: pd.Series, labels: pd.Series
+) -> pd.Series:
+    """Arrow-batched labeled canonization: (mask, k, labels array) →
+    'canonMask:label-signature' composite key string."""
+    mk = mask.to_numpy(dtype=np.int64)
+    kk = k.to_numpy(dtype=np.int64)
+    out = [""] * len(mk)
+    idx = np.arange(len(mk))
+    for kv in np.unique(kk):
+        sel = idx[kk == kv]
+        labs = [list(labels.iloc[i]) for i in sel]
+        cm, sigs = canonical_labeled_batch(
+            mk[sel].astype(np.uint64), labs, int(kv)
+        )
+        for j, i in enumerate(sel):
+            out[i] = f"{int(cm[j])}:{sigs[j]}"
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.LongType())
 def canonical_udf(mask: pd.Series, k: pd.Series) -> pd.Series:
     """Arrow-batched canonization: (mask, k) → canonical mask."""
@@ -99,3 +120,58 @@ def canonical_udf(mask: pd.Series, k: pd.Series) -> pd.Series:
         sel = kk == kv
         out[sel] = canonical_batch(mk[sel].astype(np.uint64), int(kv)).astype(np.int64)
     return pd.Series(out)
+
+
+# --- label-sensitive canonization (DPlainMotifExtractor.java:54-63) --------
+
+
+def canonical_labeled(mask: int, labels: list[str], k: int) -> tuple[int, str]:
+    """Canonical form of a LABELED k-node subgraph: the permutation
+    minimizing (adjacency mask, label sequence) lexicographically.
+
+    Returns (canon_mask, canon_label_sig) where the signature is the
+    label sequence under the winning permutation joined with '\\x1f'.
+    Two labeled subgraphs are isomorphic WITH matching labels iff both
+    components are equal — the reference matches labels unless blanked
+    (DPlainMotifExtractor.java:54-63, Graphs.blank).
+    """
+    masks, sigs = canonical_labeled_batch(
+        np.array([mask], dtype=np.uint64), [list(labels)], k
+    )
+    return int(masks[0]), sigs[0]
+
+
+def canonical_labeled_batch(masks: np.ndarray, labels: list[list[str]], k: int):
+    """Batch labeled canonization.
+
+    Phase 1 (vectorized, same as canonical_batch): minimum mask over all
+    permutations, remembering WHICH permutations achieve it.  Phase 2
+    (per row, over the few mask-minimizing permutations — the canonical
+    mask's automorphism coset, usually tiny): lexicographically minimal
+    permuted label sequence.
+    """
+    if k > MAX_K:
+        raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
+    masks = masks.astype(np.uint64)
+    nbits = k * k
+    bits = (masks[None, :] >> np.arange(nbits, dtype=np.uint64)[:, None]) & np.uint64(1)
+    table = _perm_tables(k)
+    perms = list(permutations(range(k)))
+    weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))[:, None]
+    cands = np.empty((len(perms), len(masks)), dtype=np.uint64)
+    for r, perm_row in enumerate(table):
+        cands[r] = (bits[perm_row, :] * weights).sum(axis=0, dtype=np.uint64)
+    best = cands.min(axis=0)
+    achieves = cands == best[None, :]
+    sigs = []
+    for b in range(len(masks)):
+        lab = labels[b]
+        best_seq = None
+        for r in np.flatnonzero(achieves[:, b]):
+            p = perms[r]
+            # position i of the canonical graph holds original vertex p[i]
+            seq = tuple(lab[p[i]] for i in range(k))
+            if best_seq is None or seq < best_seq:
+                best_seq = seq
+        sigs.append("\x1f".join(best_seq))
+    return best, sigs

@@ -60,17 +60,54 @@ class MotifExtractor:
         min_freq: int = 2,
         seed: int = 42,
         directed: bool = True,
+        vertex_labels: DataFrame | None = None,
     ):
         self.edges = edges
         self.directed = directed
         self.min_freq = min_freq
+        self.labeled = vertex_labels is not None
         spark = edges.sparkSession
 
         occ = sample_connected_subgraphs(
             edges, samples, min_size, max_size, seed=seed, directed=directed
         )
         occ = induced_masks(occ, edges, directed=directed)
-        occ = occ.withColumn("canon", canonical_udf("mask", "k"))
+        if vertex_labels is not None:
+            # label-sensitive matching (DPlainMotifExtractor.java:54-63):
+            # occurrences unify only when structure AND label pattern are
+            # isomorphic.  The canonical key is the labeled canonization's
+            # composite string; the long ``canon`` group key is its hash
+            # (the string rides along as ``canon_key``).
+            from motive_spark.motifs.canon import canonical_labeled_udf
+
+            per_v = (
+                occ.select("occ_id", F.posexplode("vertices").alias("pos", "id"))
+                .join(
+                    vertex_labels.select("id", F.col("label").cast("string")),
+                    on="id",
+                    how="left",
+                )
+                .groupBy("occ_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos").alias("p"),
+                                    F.coalesce("label", F.lit("")).alias("lab"),
+                                )
+                            )
+                        ),
+                        lambda s: s["lab"],
+                    ).alias("labels")
+                )
+            )
+            occ = occ.join(per_v, on="occ_id").withColumn(
+                "canon_key", canonical_labeled_udf("mask", "k", "labels")
+            )
+            occ = occ.withColumn("canon", F.xxhash64("canon_key"))
+        else:
+            occ = occ.withColumn("canon", canonical_udf("mask", "k"))
         # no duplicate occurrences of the same motif (same vertex set)
         occ = occ.dropDuplicates(["canon", "vertices"])
 
@@ -95,22 +132,29 @@ class MotifExtractor:
         )
         self._sampled = occ.cache()
 
+        freq_aggs = [F.count(F.lit(1)).alias("freq")]
+        if self.labeled:
+            freq_aggs.append(F.first("canon_key").alias("canon_key"))
         freq = (
             self._sampled.groupBy("canon", "k")
-            .agg(F.count(F.lit(1)).alias("freq"))
+            .agg(*freq_aggs)
             .where(F.col("freq") >= min_freq)
         )
         self._motifs = freq.cache()
 
+        sel_cols = ["canon", "k", "occ_id", "vertices", "ex_degree", "mask"]
+        sel_schema = (
+            "canon long, k int, occ_id long, vertices array<long>, "
+            "ex_degree long, mask long"
+        )
+        if self.labeled:
+            sel_cols += ["canon_key", "labels"]
+            sel_schema += ", canon_key string, labels array<string>"
         selected = (
             self._sampled.join(self._motifs.select("canon"), on="canon")
-            .select("canon", "k", "occ_id", "vertices", "ex_degree", "mask")
+            .select(*sel_cols)
             .groupBy("canon")
-            .applyInPandas(
-                _remove_overlaps,
-                schema="canon long, k int, occ_id long, vertices array<long>, "
-                "ex_degree long, mask long",
-            )
+            .applyInPandas(_remove_overlaps, schema=sel_schema)
         )
         self._occurrences = selected.cache()
 

@@ -104,3 +104,31 @@ def test_normalize_ids_two_phase_no_global_window(spark):
     # determinism across a second invocation
     _, vmap2 = normalize_ids(edges)
     assert {r["orig_key"]: r["id"] for r in vmap2.collect()} == want
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    """GML source (Run.java:245 path): write → read roundtrip, directed
+    flag, node labels."""
+    from motive_spark.graph.gml import read_gml, write_gml
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    p = str(tmp_path / "g.gml")
+    write_gml(edges, p, directed=True)
+    out = read_gml(spark, p)
+    assert out["directed"] is True
+    got = sorted((r["src"], r["dst"]) for r in out["edges"].collect())
+    assert got == sorted(pairs)
+    assert sorted(r["id"] for r in out["nodes"].collect()) == [0, 1, 2, 3]
+
+    # hand-written file with labels and undirected default
+    p2 = str(tmp_path / "h.gml")
+    with open(p2, "w") as f:
+        f.write('graph [\n  node [ id 5 label "five" ]\n'
+                '  node [ id 6 label "six" ]\n'
+                '  edge [ source 5 target 6 ]\n]\n')
+    out2 = read_gml(spark, p2)
+    assert out2["directed"] is False
+    assert [(r["src"], r["dst"]) for r in out2["edges"].collect()] == [(5, 6)]
+    labels = {r["id"]: r["label"] for r in out2["nodes"].collect()}
+    assert labels == {5: "five", 6: "six"}

@@ -167,3 +167,42 @@ def test_label_propagation_deterministic(spark):
     clique = [(0, 1), (0, 2), (1, 2)]
     one = {r["id"]: r["label"] for r in label_propagation(edges_df(spark, clique), iters=2).collect()}
     assert one == {0: 0, 1: 0, 2: 0}
+
+
+def test_auto_strategy_selects_csr_above_threshold(spark, monkeypatch):
+    """auto resolves to the csr plan above BROADCAST_MAX_VERTICES and
+    still produces identical results (threshold lowered to force it)."""
+    import importlib
+
+    # the kernels package re-exports same-named FUNCTIONS; resolve the
+    # modules explicitly
+    for name in (
+        "motive_spark.kernels.components",
+        "motive_spark.kernels.labelprop",
+        "motive_spark.kernels.pagerank",
+    ):
+        monkeypatch.setattr(
+            importlib.import_module(name), "BROADCAST_MAX_VERTICES", 5
+        )
+    pairs = random_pairs(40, 100, seed=9, directed=False)
+    e = edges_df(spark, pairs)
+    from motive_spark.kernels import (
+        connected_components,
+        label_propagation,
+        pagerank,
+    )
+
+    cc = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert cc == py_components(pairs)
+    lp_a = {r["id"]: r["label"] for r in label_propagation(e, iters=2).collect()}
+    lp_b = {
+        r["id"]: r["label"]
+        for r in label_propagation(e, iters=2, strategy="broadcast").collect()
+    }
+    assert lp_a == lp_b
+    pr_a = {r["id"]: r["rank"] for r in pagerank(e, max_iter=10, tol=None).collect()}
+    pr_b = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, max_iter=10, tol=None, strategy="broadcast").collect()
+    }
+    assert all(abs(pr_a[k] - pr_b[k]) < 1e-12 for k in pr_b)

@@ -188,3 +188,67 @@ def test_directed_extractor_and_injection(spark):
     assert target in scores
     best = max(scores.values(), key=lambda r: r.factor_er)
     assert best.canon == target and best.factor_er > 0
+
+
+def test_canonical_labeled_invariants():
+    """Labeled canonization: label-preserving isomorphisms unify, label
+    pattern differences split (DPlainMotifExtractor.java:54-63)."""
+    from motive_spark.motifs.canon import canonical_labeled, edges_to_mask
+
+    # path 0-1-2 (center 1), undirected
+    path = edges_to_mask([(0, 1), (1, 2)], 3, False)
+    # same labeled graph under a vertex relabeling: center keeps label B
+    a = canonical_labeled(path, ["A", "B", "A"], 3)
+    perm_mask = edges_to_mask([(2, 1), (1, 0)], 3, False)  # same structure
+    b = canonical_labeled(perm_mask, ["A", "B", "A"], 3)
+    assert a == b
+    # endpoints swapped with distinct labels: still isomorphic as labeled
+    c1 = canonical_labeled(path, ["A", "B", "C"], 3)
+    c2 = canonical_labeled(path, ["C", "B", "A"], 3)
+    assert c1 == c2
+    # center label differs -> different labeled motif, same structure
+    d = canonical_labeled(path, ["B", "A", "B"], 3)
+    assert d != a and d[0] == a[0]
+    # triangle: all rotations unify
+    tri = edges_to_mask([(0, 1), (1, 2), (0, 2)], 3, False)
+    t1 = canonical_labeled(tri, ["X", "Y", "Z"], 3)
+    t2 = canonical_labeled(tri, ["Y", "Z", "X"], 3)
+    assert t1 == t2
+
+
+def test_extractor_label_sensitive(spark):
+    """Two structurally-identical triangle populations with different
+    label patterns split into separate motifs when labels are given and
+    unify when not."""
+    from motive_spark.motifs import MotifExtractor
+
+    pairs, labels = [], []
+    for i in range(8):
+        vs = [3 * i, 3 * i + 1, 3 * i + 2]
+        pairs += [(vs[0], vs[1]), (vs[1], vs[2]), (vs[0], vs[2])]
+        pat = ["red", "red", "blue"] if i % 2 == 0 else ["green", "green", "green"]
+        labels += list(zip(vs, pat))
+    # connect the triangles in a ring so sampling can reach all of them
+    for i in range(8):
+        pairs.append((3 * i, 3 * ((i + 1) % 8)))
+    e = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    lab = spark.createDataFrame(labels, "id long, label string")
+
+    blind = MotifExtractor(e, samples=500, min_size=3, max_size=3,
+                           min_freq=1, directed=False)
+    tri_blind = [r for r in blind.motifs().collect() if bin(r["k"]) and r["freq"] >= 4]
+    labeled = MotifExtractor(e, samples=500, min_size=3, max_size=3,
+                             min_freq=1, directed=False, vertex_labels=lab)
+    sigs = {
+        r["canon_key"]
+        for r in labeled.motifs().collect()
+        if r["canon_key"].count("\x1f") == 2 and r["freq"] >= 2
+    }
+    # the two triangle label patterns appear as DISTINCT labeled motifs
+    tri_sigs = {s for s in sigs if "green" in s or "red" in s}
+    assert any("green" in s for s in tri_sigs)
+    assert any("red" in s and "blue" in s for s in tri_sigs)
+    # occurrences carry labels aligned to vertex order
+    occ = labeled.occurrences().limit(5).collect()
+    for r in occ:
+        assert len(r["labels"]) == r["k"]
