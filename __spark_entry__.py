@@ -408,6 +408,74 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, k=5, n_queries=10).orderBy("query_id", "rank")
 
 
+def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN with a REAL oracle: random-hyperplane LSH buckets +
+    exact rescoring, the same seeded numpy plane matrix embedded in the
+    DuckDB SQL as literals (identical bucketing and candidate sets)."""
+    from motive_spark.datapipe.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    assert dim == _LSH_DIM, f"oracle planes baked for dim {_LSH_DIM}, got {dim}"
+    return lsh_bucketed_topk(
+        emb, k=5, n_planes=8, n_tables=4, seed=42, n_queries=10
+    ).orderBy("query_id", "rank")
+
+
+_LSH_DIM = 64
+
+
+def _lsh_planes_values(n_tables: int = 4, n_planes: int = 8) -> str:
+    """The lsh_bucketed_topk plane matrix (numpy default_rng(42)
+    standard_normal) as a DuckDB VALUES literal."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal(size=(n_tables, n_planes, _LSH_DIM))
+    rows = ",\n".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (t, p, ",".join("%.17g" % x for x in planes[t, p]))
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return rows
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(t, p, plane) AS (VALUES {_lsh_planes_values()}),
+signs AS (
+  SELECT vec_id, t, p,
+         CASE WHEN list_dot_product(v, plane) >= 0 THEN '1' ELSE '0' END AS bit
+  FROM emb CROSS JOIN planes
+),
+buckets AS (
+  SELECT vec_id, CAST(t AS VARCHAR) || '|' || string_agg(bit, '' ORDER BY p) AS bucket
+  FROM signs GROUP BY vec_id, t
+),
+b2 AS (SELECT e.vec_id, e.v, b.bucket FROM emb e JOIN buckets b ON e.vec_id = b.vec_id),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+  FROM b2 q JOIN b2 n USING (bucket)
+  WHERE q.vec_id < 10 AND q.vec_id != n.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(qe.v, ne.v), 6) AS cos
+  FROM cands
+  JOIN emb qe ON qe.vec_id = query_id
+  JOIN emb ne ON ne.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (mapInPandas featurizer — not SQL-expressible)."""
     from motive_spark.datapipe.multimodal import (
@@ -606,6 +674,7 @@ _DATAPIPE_QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "knn_lsh_topk": q_knn_lsh_topk,
     "multimodal_features": q_multimodal_features,
     "motif_triad_census": q_motif_triad_census,
     "motif_k3_er_factors": q_motif_k3_er_factors,
@@ -670,6 +739,7 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank""",
+    "knn_lsh_topk": _lsh_sql(),
     "motif_triad_census": (
         "WITH "
         + SQL_GRAPH

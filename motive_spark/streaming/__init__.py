@@ -1,0 +1,7 @@
+from motive_spark.streaming.ingest import (
+    running_degrees_stream,
+    stream_edges,
+    windowed_edge_counts,
+)
+
+__all__ = ["stream_edges", "windowed_edge_counts", "running_degrees_stream"]

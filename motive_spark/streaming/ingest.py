@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion for the edge table.
+
+The reference is batch-only; at 100-TB scale the edge table is APPENDED
+continuously (new commits land in the code table, new import edges
+appear), so the Spark-native engine ingests edges as a stream:
+
+* ``stream_edges`` — ``readStream`` over a directory of edge files
+  (JSON lines or Parquet), schema-enforced.  One micro-batch per
+  trigger; ``availableNow`` drains a backlog exactly once (tests and
+  backfills use it).
+* ``windowed_edge_counts`` — event-time tumbling-window edge counts
+  with a WATERMARK: late rows inside the watermark still land in their
+  window; older ones are dropped and the window state is garbage
+  collected (bounded state — the requirement for an unbounded stream).
+* ``running_degrees_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: per-vertex running out-degree maintained
+  in group state across micro-batches, emitting the updated degree per
+  touched vertex each batch (the streaming analogue of
+  graph.normalize.degrees).
+
+All sinks write Parquet + checkpoint dir, so a killed stream resumes
+exactly-once from its offsets — the same resume contract the batch
+kernels honor per-superstep (checkpoint.CheckpointManager).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+    ]
+)
+
+
+def stream_edges(
+    spark: SparkSession, input_dir: str, fmt: str = "json"
+) -> DataFrame:
+    """Streaming edge source: (src, dst, event_time) rows from files
+    appearing under ``input_dir``."""
+    reader = spark.readStream.schema(EDGE_SCHEMA)
+    if fmt == "json":
+        return reader.json(input_dir)
+    if fmt == "parquet":
+        return reader.parquet(input_dir)
+    raise ValueError(f"unsupported stream format: {fmt}")
+
+
+def windowed_edge_counts(
+    edges: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling event-time windows of edge arrivals, watermark-bounded.
+
+    Returns (window_start, window_end, n_edges, n_src) in append mode —
+    a window emits once its watermark passes, so downstream sinks see
+    each window exactly once.
+    """
+    return (
+        edges.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.approx_count_distinct("src").alias("n_src"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_edges",
+            "n_src",
+        )
+    )
+
+
+def running_degrees_stream(edges: DataFrame) -> DataFrame:
+    """Per-vertex running out-degree via ``applyInPandasWithState``.
+
+    Emits (id, out_deg) for every vertex touched in each micro-batch,
+    with the cumulative degree held in group state — bounded by one
+    long per live vertex, partitioned by vertex hash like every batch
+    kernel's state table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.exists:
+            (total,) = state.get
+        else:
+            total = 0
+        total += n_new
+        state.update((total,))
+        yield pd.DataFrame({"id": [key[0]], "out_deg": [total]})
+
+    return (
+        edges.select(F.col("src").alias("id"))
+        .groupBy("id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="id long, out_deg long",
+            stateStructType="total long",
+            # append: each micro-batch's emitted rows append to the sink
+            # (the Parquet file sink supports only append; the state
+            # itself still updates across batches)
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
