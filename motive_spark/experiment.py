@@ -46,6 +46,8 @@ def fast_experiment(
     name: str = "data",
     with_beta: bool = False,
     beta_iterations: int = 50,
+    max_rw: int = 500_000,
+    simplify: bool = True,
 ) -> dict:
     """Run the full pipeline; write sinks; return summary dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -65,7 +67,8 @@ def fast_experiment(
     model = ("er", "el", "beta") if with_beta else ("er", "el")
     both = size_with_search(
         edges, occ, directed=directed, model=model, max_depth=search_depth,
-        beta_iterations=beta_iterations, seed=seed,
+        beta_iterations=beta_iterations, seed=seed, max_rw=max_rw,
+        simplify=simplify,
     ).cache()
     er = both.where(F.col("model") == "er").select(
         "canon",

@@ -115,6 +115,8 @@ def size_with_search(
     beta_alpha: float = 0.05,
     beta_depth: int | None = 3,
     seed: int = 42,
+    max_rw: int = 500_000,
+    simplify: bool = True,
 ) -> DataFrame:
     """Per-motif optimal (cutoff, size, factor) under ``model`` — "er",
     "el", "beta", or a tuple.  All requested models share every batched
@@ -146,7 +148,7 @@ def size_with_search(
     # computed ONCE and shared by every scoring round (precompute_globals)
     from motive_spark.mdl.score import precompute_globals
 
-    pc = precompute_globals(edges, directed)
+    pc = precompute_globals(edges, directed, simplify)
     e, n, m = pc["e"], pc["n"], pc["m"]
     hists = pc["hists"]
     baselines = dict(pc["base"])
@@ -238,6 +240,7 @@ def size_with_search(
                 reset_wiring=reset_wiring,
                 group_col="gid",
                 precomputed=pc,
+                max_rw=max_rw,
                 _with_hists=with_beta,
             ).collect()
             for r in res:

@@ -132,3 +132,20 @@ def test_gml_roundtrip(spark, tmp_path):
     assert [(r["src"], r["dst"]) for r in out2["edges"].collect()] == [(5, 6)]
     labels = {r["id"]: r["label"] for r in out2["nodes"].collect()}
     assert labels == {5: "five", 6: "six"}
+
+
+def test_cli_edgelist_loader_and_convert(spark, tmp_path):
+    """__main__ loader: edgelist parsing (comments, blanks, whitespace)
+    and the convert (preload-analogue) path."""
+    from motive_spark.__main__ import _load_edges, main
+
+    p = tmp_path / "e.tsv"
+    p.write_text("# comment\n1\t2\n\n2 3\n3\t1\n")
+    edges, directed = _load_edges(spark, str(p), "edgelist", undirected=False)
+    assert sorted((r.src, r.dst) for r in edges.collect()) == [(1, 2), (2, 3), (3, 1)]
+    assert directed
+    out = str(tmp_path / "conv")
+    rc = main(["--type", "convert", "--file", str(p), "--output", out,
+               "--master", "local[2]"])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 3
