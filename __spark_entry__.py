@@ -199,10 +199,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
+def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline CSR single-exchange plan, driver-gated against the
+    SAME DuckDB oracle as the default strategy — the scaling-winning
+    physical plan is exactly as correct as the reference iteration."""
+    from motive_spark.kernels import pagerank
+
+    pr = pagerank(
+        _sym(spark, sf_dir), damping=PR_DAMPING, max_iter=PR_ITERS, tol=None,
+        strategy="csr",
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
     return connected_components(_und(spark, sf_dir)).orderBy("id")
+
+
+def q_components_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-plan connected components against the same oracle."""
+    from motive_spark.kernels import connected_components
+
+    return connected_components(_und(spark, sf_dir), strategy="csr").orderBy("id")
 
 
 def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_histogram": q_degree_histogram,
         "graph_edge_multiplicity": q_edge_multiplicity,
         "pagerank": q_pagerank,
+        "pagerank_csr": q_pagerank_csr,
         "connected_components": q_components,
+        "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
         "triangle_count_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -275,7 +297,9 @@ pairs AS (
 SELECT src, dst, COUNT(*) AS mult FROM pairs
 GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank": _pagerank_sql(),
+        "pagerank_csr": _pagerank_sql(),
         "connected_components": SQL_COMPONENTS,
+        "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),
         "triangle_count_total": SQL_TRI
         + "SELECT COUNT(*) AS n_triangles FROM tri",

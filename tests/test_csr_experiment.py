@@ -107,3 +107,38 @@ def test_checkpoint_resume_exact(spark, tmp_path):
         counters = json.load(f)
     assert [c["iteration"] for c in counters][-1] == 7
     assert all("superstep_sec" in c for c in counters)
+
+
+def test_gather_sum_2d_matches_1d(spark):
+    from motive_spark.graph.csr import (
+        build_csr,
+        build_csr_2d,
+        gather_sum,
+        gather_sum_2d,
+    )
+
+    pairs = random_pairs(60, 500, seed=21)
+    edges = edges_df(spark, pairs)
+    vals = spark.createDataFrame(
+        [(v, float((v * 7) % 11 + 1)) for v in range(60)], "id long, value double"
+    )
+    one_d = {
+        r.id: r.gathered for r in gather_sum(build_csr(edges), vals).collect()
+    }
+    two_d = {
+        r.id: r.gathered
+        for r in gather_sum_2d(build_csr_2d(edges, nb_dst=4), vals, nb_dst=4).collect()
+    }
+    assert set(one_d) == set(two_d)
+    for k in one_d:
+        assert abs(one_d[k] - two_d[k]) < 1e-9
+    # block alignment: each csr row's dst_list stays inside its block
+    from pyspark.sql import functions as F
+
+    csr2d = build_csr_2d(edges, nb_dst=4)
+    bad = (
+        csr2d.select("dst_block", F.explode("dst_list").alias("dst"))
+        .where(F.pmod(F.xxhash64("dst"), F.lit(4)).cast("int") != F.col("dst_block"))
+        .count()
+    )
+    assert bad == 0
