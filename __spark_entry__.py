@@ -432,6 +432,17 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, k=5, n_queries=10).orderBy("query_id", "rank")
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline —
+    the LSH-bucketed variant is the scale path, recall-tested)."""
+    from motive_spark.datapipe import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, threshold=0.4, method="exact").orderBy(
+        "vec_a", "vec_b"
+    )
+
+
 def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN with a REAL oracle: random-hyperplane LSH buckets +
     exact rescoring, the same seeded numpy plane matrix embedded in the
@@ -699,6 +710,7 @@ _DATAPIPE_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_features": q_multimodal_features,
     "motif_triad_census": q_motif_triad_census,
     "motif_k3_er_factors": q_motif_k3_er_factors,
@@ -764,6 +776,14 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank""",
     "knn_lsh_topk": _lsh_sql(),
+    "dedup_embedding_cosine": """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM emb a CROSS JOIN emb b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+ORDER BY vec_a, vec_b""",
     "motif_triad_census": (
         "WITH "
         + SQL_GRAPH

@@ -4,7 +4,11 @@ from motive_spark.datapipe.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from motive_spark.datapipe.similarity import brute_force_topk, lsh_bucketed_topk
+from motive_spark.datapipe.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
 from motive_spark.datapipe.text import (
     detect_language,
     document_fingerprint,
@@ -19,6 +23,7 @@ __all__ = [
     "simhash_signatures",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "embedding_near_duplicates",
     "token_stats",
     "quality_scores",
     "detect_language",

@@ -73,36 +73,25 @@ def brute_force_topk(
     )
 
 
-def lsh_bucketed_topk(
-    embeddings: DataFrame,
-    k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
-    seed: int = 42,
-    n_queries: int | None = 10,
+def _lsh_bucketed(
+    embeddings: DataFrame, n_planes: int, n_tables: int, seed: int
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join + exact
-    rescoring within buckets, over ``n_tables`` independent hash tables
-    (union of candidates — the standard recall amplification: recall
-    1-(1-p^planes)^tables).
+    """(vec_id, v, bucket) — one row per (vector, hash table).
 
-    The plane matrix is a seeded numpy draw shipped as a BROADCAST
-    ``(t, p, plane)`` table — ``n_tables * n_planes`` rows — and the
-    sign bits come from one crossJoin + groupBy.  Building the planes as
-    per-dimension expression trees instead would put dim x planes x
-    tables (~25k at dim 768) nodes into every query plan and stall
-    Catalyst before a single task runs.
+    The plane matrix is a seeded numpy Gaussian draw (plane directions
+    uniform on the sphere → the exact sign-LSH collision law
+    P(bit match) = 1 - theta/pi) shipped as a BROADCAST ``(t, p, plane)``
+    table; sign bits come from one crossJoin + groupBy.  Building planes
+    as per-dimension expression trees instead would put
+    dim x planes x tables (~25k at dim 768) nodes into every query plan
+    and stall Catalyst before a single task runs.
     """
     import numpy as np
-    from pyspark.sql import Window
 
     spark = embeddings.sparkSession
     dim = len(embeddings.select("embedding").first()[0])
     emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
 
-    # Gaussian components: the plane directions are uniform on the sphere
-    # (rotation-invariant), giving the exact sign-LSH collision law
-    # P(bit match) = 1 - theta/pi
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal(size=(n_tables, n_planes, dim))
     planes_df = spark.createDataFrame(
@@ -139,7 +128,32 @@ def lsh_bucketed_topk(
             ),
         )
     )
-    bucketed = emb.join(bucket_keys, on="vec_id").cache()
+    return emb.join(bucket_keys, on="vec_id").cache()
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    n_queries: int | None = 10,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join + exact
+    rescoring within buckets, over ``n_tables`` independent hash tables
+    (union of candidates — the standard recall amplification: recall
+    1-(1-p^planes)^tables).
+
+    The plane matrix is a seeded numpy draw shipped as a BROADCAST
+    ``(t, p, plane)`` table — ``n_tables * n_planes`` rows — and the
+    sign bits come from one crossJoin + groupBy.  Building the planes as
+    per-dimension expression trees instead would put dim x planes x
+    tables (~25k at dim 768) nodes into every query plan and stall
+    Catalyst before a single task runs.
+    """
+    from pyspark.sql import Window
+
+    bucketed = _lsh_bucketed(embeddings, n_planes, n_tables, seed)
     queries = bucketed.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("va"), "bucket"
     )
@@ -162,3 +176,46 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    method: str = "lsh",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos) with
+    vec_a < vec_b and cosine >= threshold.
+
+    ``method="exact"`` — the all-pairs correctness baseline (and DuckDB
+    oracle); quadratic, only for verification scale.  ``method="lsh"`` —
+    the scale path: candidates from multi-table hyperplane buckets, then
+    exact rescoring; recall < 1 by design (amplified by n_tables — fewer
+    planes/more tables than top-k search because near-dup thresholds
+    want high recall at high similarity).
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    if method == "exact":
+        a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    else:
+        bucketed = _lsh_bucketed(embeddings, n_planes, n_tables, seed)
+        l = bucketed.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+        )
+        r = bucketed.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+        )
+        pairs = (
+            l.join(r, on="bucket")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    scored = pairs.withColumn(
+        "cos",
+        F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+    )
+    return scored.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")

@@ -206,3 +206,21 @@ def test_multimodal_plumbing(docs):
     assert plan.count() >= 20
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_embedding_near_duplicates_lsh_recall(emb):
+    """LSH near-dup pairs are a subset of the exact pairs with usable
+    recall at high similarity (the dedup regime)."""
+    from motive_spark.datapipe import embedding_near_duplicates
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates(emb, 0.45, method="exact").collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates(emb, 0.45, method="lsh").collect()
+    }
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.4
