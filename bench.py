@@ -97,11 +97,20 @@ def _extra_benches(spark) -> dict[str, float]:
             k
             for k in em.queries()
             if k.startswith(("dedup_", "simhash", "minhash", "text_", "knn_", "motif_"))
+            # the contract query is the EXACT all-pairs oracle baseline
+            # (quadratic); the suite times the LSH scale path below
+            and k != "dedup_embedding_cosine"
         ]
         for k in extra:
             t0 = time.time()
             em.queries()[k](spark, SF_DIR).count()
             timings[k] = round(time.time() - t0, 3)
+        from motive_spark.datapipe import embedding_near_duplicates
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        t0 = time.time()
+        embedding_near_duplicates(emb, threshold=0.4, method="lsh").count()
+        timings["dedup_embedding_cosine_lsh"] = round(time.time() - t0, 3)
     except Exception:  # noqa: BLE001 — extras must never sink the bench
         pass
     return timings
