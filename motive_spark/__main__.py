@@ -88,6 +88,7 @@ def main(argv=None) -> int:
         res = synthetic_experiment(
             spark, tri, 3, counts, samples=args.samples, seed=args.seed,
             n_noise=args.synth_n, m_noise=args.synth_m,
+            max_degree=args.synth_maxdeg,
         )
         print(json.dumps(res, indent=1))
         return 0
@@ -118,6 +119,8 @@ def main(argv=None) -> int:
         search_depth=args.ds_depth,
         with_beta=(args.type == "full"),
         beta_iterations=args.ds_iterations,
+        max_rw=args.max_rw,
+        simplify=args.simplify,
     )
     print(json.dumps(meta, indent=1))
     return 0

@@ -75,10 +75,12 @@ class CheckpointManager:
             self._hist.append((out, kind))
             if len(self._hist) > 2:
                 old, old_kind = self._hist.pop(0)
-                # release gen i-2 only when gen i-1 is lineage-free (a
-                # localCheckpoint): a merely-cached successor could still
-                # recompute through the old state on block eviction.
-                if self._hist[0][1] == "ckpt":
+                # a popped CACHE gen is always releasable (its lineage
+                # stays intact, so a cached successor can still recompute
+                # through it on eviction); a popped localCheckpoint's
+                # blocks ARE its data, so release those only when the
+                # successor is itself lineage-free.
+                if old_kind == "cache" or self._hist[0][1] == "ckpt":
                     self._release(old, old_kind)
         else:
             path = self._iter_dir(iteration)

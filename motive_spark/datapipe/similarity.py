@@ -5,10 +5,13 @@
   the way so the DuckDB oracle (list_cosine_similarity on DOUBLE[])
   matches to 6 dp.
 * ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH buckets
-  prune the candidate set before exact rescoring.  Hyperplanes are
-  seeded xxhash64-derived (deterministic, no driver-side randomness);
-  at 100 TB the bucket join replaces the quadratic cross join with a
-  per-bucket blow-up bounded by bucket occupancy.
+  prune the candidate set before exact rescoring.  Hyperplanes are a
+  seeded numpy Gaussian draw shipped as a broadcast plane table
+  (deterministic given the seed); at 100 TB the bucket join replaces
+  the quadratic cross join with a per-bucket blow-up bounded by bucket
+  occupancy.
+* ``embedding_near_duplicates`` — threshold near-dup pairs: exact
+  all-pairs baseline or LSH-bucketed scale path.
 """
 
 from __future__ import annotations
@@ -128,6 +131,10 @@ def _lsh_bucketed(
             ),
         )
     )
+    # cached because both sides of the candidate self-join read it; the
+    # entry (|V| x n_tables skinny rows) is left to Spark's LRU/context
+    # cleanup — callers return lazy frames, so an eager unpersist here
+    # would force a materialization they may never need in full
     return emb.join(bucket_keys, on="vec_id").cache()
 
 
@@ -214,8 +221,5 @@ def embedding_near_duplicates(
             .where(F.col("vec_a") < F.col("vec_b"))
             .dropDuplicates(["vec_a", "vec_b"])
         )
-    scored = pairs.withColumn(
-        "cos",
-        F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
-    )
+    scored = with_cosine(pairs).withColumn("cos", F.round("cos", 6))
     return scored.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")

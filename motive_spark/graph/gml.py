@@ -13,8 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_EDGE_BLOCK = r"edge\s*\[([^\]]*)\]"
-_NODE_BLOCK = r"node\s*\[([^\]]*)\]"
+# block bodies may contain ONE level of nested sub-blocks (the common
+# `graphics [ ... ]` attribute); a plain [^\]]* would stop at the nested
+# closer and silently drop whatever follows it
+_BLOCK_BODY = r"((?:[^\[\]]|\[[^\[\]]*\])*)"
+_EDGE_BLOCK = r"edge\s*\[" + _BLOCK_BODY + r"\]"
+_NODE_BLOCK = r"node\s*\[" + _BLOCK_BODY + r"\]"
 
 
 def read_gml(spark: SparkSession, path: str) -> dict:
@@ -56,6 +60,11 @@ def read_gml(spark: SparkSession, path: str) -> dict:
     directed = (
         raw.where(F.col("value").rlike(r"directed\s+1")).limit(1).count() > 0
     )
+    # materialize the (small) parsed frames BEFORE dropping the whole-text
+    # cache — otherwise every downstream action re-reads and re-parses the
+    # raw files
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     raw.unpersist()
     return {"edges": edges, "nodes": nodes, "directed": directed}
 

@@ -210,6 +210,10 @@ def size_with_search(
 
     while True:
         pending: set[tuple[int, int]] = set()
+        # beta sizes are only computed for the pairs BETA's own descent
+        # requested — er/el descend deeper (no beta_depth cap) and their
+        # extra cutoffs must not trigger MC sampling passes
+        beta_pending: set[tuple[int, int]] = set()
         for mo in models:
             cap = _depth_cap(mo)
             for canon, st in states[mo].items():
@@ -222,6 +226,8 @@ def size_with_search(
                     c_eff = min(c, motif_info[canon][2])
                     if (canon, c_eff) not in cache[mo] and c_eff > 0:
                         pending.add((canon, c_eff))
+                        if mo == "beta":
+                            beta_pending.add((canon, c_eff))
         if pending:
             assert all(c < _GID_BASE for _, c in pending)
             pend_df = spark.createDataFrame(
@@ -248,10 +254,11 @@ def size_with_search(
                 canon = canon_list[idx]
                 for mo in models:
                     if mo == "beta":
-                        cache[mo][(canon, cutoff)] = _beta_size_from_row(
-                            spark, r, sub_beta[canon], directed,
-                            beta_iterations, beta_alpha, seed,
-                        )
+                        if (canon, cutoff) in beta_pending:
+                            cache[mo][(canon, cutoff)] = _beta_size_from_row(
+                                spark, r, sub_beta[canon], directed,
+                                beta_iterations, beta_alpha, seed,
+                            )
                     else:
                         cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
 

@@ -158,16 +158,30 @@ def canonical_labeled_batch(masks: np.ndarray, labels: list[list[str]], k: int):
     table = _perm_tables(k)
     perms = list(permutations(range(k)))
     weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))[:, None]
-    cands = np.empty((len(perms), len(masks)), dtype=np.uint64)
+    # running minimum + per-row achiever lists — O(B + total achievers)
+    # memory, NOT the k! x B candidate matrix (3+ GB per Arrow batch at
+    # k=8); achiever lists stay tiny (the canonical mask's automorphisms)
+    best = None
+    achievers: list[list[int]] = [[] for _ in range(len(masks))]
     for r, perm_row in enumerate(table):
-        cands[r] = (bits[perm_row, :] * weights).sum(axis=0, dtype=np.uint64)
-    best = cands.min(axis=0)
-    achieves = cands == best[None, :]
+        cand = (bits[perm_row, :] * weights).sum(axis=0, dtype=np.uint64)
+        if best is None:
+            best = cand.copy()
+            for i in range(len(masks)):
+                achievers[i].append(r)
+            continue
+        lt = cand < best
+        eq = cand == best
+        np.minimum(best, cand, out=best)
+        for i in np.flatnonzero(lt):
+            achievers[i] = [r]
+        for i in np.flatnonzero(eq):
+            achievers[i].append(r)
     sigs = []
     for b in range(len(masks)):
         lab = labels[b]
         best_seq = None
-        for r in np.flatnonzero(achieves[:, b]):
+        for r in achievers[b]:
             p = perms[r]
             # position i of the canonical graph holds original vertex p[i]
             seq = tuple(lab[p[i]] for i in range(k))

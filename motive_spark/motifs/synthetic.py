@@ -110,6 +110,7 @@ def synthetic_experiment(
     seed: int = 42,
     n_noise: int = 200,
     m_noise: int = 400,
+    max_degree: int = 5,
 ) -> list[dict]:
     """factor_er of the planted motif for each instance count.
 
@@ -120,7 +121,8 @@ def synthetic_experiment(
     out = []
     for n_inst in instance_counts:
         edges = inject_motifs(
-            spark, motif_edges, k, n_inst, n_noise, m_noise, seed=seed
+            spark, motif_edges, k, n_inst, n_noise, m_noise, seed=seed,
+            max_degree=max_degree,
         )
         ex = MotifExtractor(
             edges, samples=samples, min_size=k, max_size=k, min_freq=1,

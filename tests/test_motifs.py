@@ -234,9 +234,15 @@ def test_extractor_label_sensitive(spark):
     e = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
     lab = spark.createDataFrame(labels, "id long, label string")
 
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    tri_canon = canonical_form(edges_to_mask([(0, 1), (1, 2), (0, 2)], 3, False), 3)
     blind = MotifExtractor(e, samples=500, min_size=3, max_size=3,
                            min_freq=1, directed=False)
-    tri_blind = [r for r in blind.motifs().collect() if bin(r["k"]) and r["freq"] >= 4]
+    # structure-blind extraction UNIFIES both label populations into one
+    # triangle motif class
+    tri_blind = [r for r in blind.motifs().collect() if r["canon"] == tri_canon]
+    assert len(tri_blind) == 1 and tri_blind[0]["freq"] >= 6
     labeled = MotifExtractor(e, samples=500, min_size=3, max_size=3,
                              min_freq=1, directed=False, vertex_labels=lab)
     sigs = {
