@@ -83,3 +83,40 @@ def frame_sample_plan(table: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_payload(table: DataFrame, factor: int = 4) -> DataFrame:
+    """Image-resize PLUMBING over mapInPandas: (doc_id, payload, meta) →
+    (doc_id, payload, meta) with the payload transformed batch-wise and
+    the metadata updated to the new size.
+
+    The transform body is a deterministic stand-in (stride-subsample the
+    byte buffer by ``factor`` — the container has no imaging libraries);
+    on a real cluster the body becomes decode → PIL/cv2 resize →
+    re-encode, with the SAME Arrow batch shape, schema and metadata
+    contract exercised here.
+    """
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<format:string, n_bytes:long>"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for buf, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = np.frombuffer(buf, dtype=np.uint8)[::factor]
+                b = arr.tobytes()
+                out_payload.append(b)
+                out_meta.append(
+                    {"format": meta["format"] + f";resized/{factor}",
+                     "n_bytes": len(b)}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": out_payload,
+                 "meta": out_meta}
+            )
+
+    return table.select("doc_id", "payload", "meta").mapInPandas(
+        resize, schema=schema
+    )

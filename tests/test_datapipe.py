@@ -224,3 +224,19 @@ def test_embedding_near_duplicates_lsh_recall(emb):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.4
+
+
+def test_multimodal_resize_plumbing(docs, spark):
+    """resize_payload: batch transform updates payload bytes and metadata
+    consistently (the real-resize Arrow contract, body stubbed)."""
+    from motive_spark.datapipe.multimodal import attach_binary_payload, resize_payload
+
+    table = attach_binary_payload(docs.limit(20))
+    out = resize_payload(table, factor=4).collect()
+    orig = {r["doc_id"]: r["meta"]["n_bytes"] for r in table.collect()}
+    assert len(out) == 20
+    for r in out:
+        n0 = orig[r["doc_id"]]
+        want = (n0 + 3) // 4  # ceil(n/4) bytes survive a stride-4 subsample
+        assert r["meta"]["n_bytes"] == want == len(r["payload"])
+        assert r["meta"]["format"].endswith(";resized/4")
