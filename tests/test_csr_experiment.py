@@ -142,3 +142,49 @@ def test_gather_sum_2d_matches_1d(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_csr_superstep_join_is_exchange_free(spark):
+    """The core perf property of the csr strategy, pinned at the plan
+    level: a superstep's rank ⋈ csr shuffle-hash join has NO exchange on
+    either live side (csr cached hash(src); ranks from a groupBy keep
+    hash(id) through localCheckpoint), leaving ONE exchange — the
+    contribution aggregation."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.graph.csr import build_csr
+
+    pairs = random_pairs(200, 1200, seed=33)
+    edges = edges_df(spark, pairs)
+    csr = build_csr(edges, partition_by="src").cache()
+    csr.count()
+    zeros = (
+        edges.select(F.col("src").alias("vid"))
+        .union(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+        .select("vid", F.lit(0.0).alias("w"))
+        .cache()
+    )
+    zeros.count()
+    ranks = (
+        zeros.groupBy(F.col("vid").alias("id"))
+        .agg(F.lit(1.0).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    contrib = csr.join(ranks.hint("shuffle_hash"), on=[ranks.id == csr.src]).select(
+        (F.col("rank") / F.col("out_deg")).alias("w"),
+        F.explode("dst_list").alias("vid"),
+    )
+    step = (
+        contrib.unionByName(zeros.select("w", "vid"))
+        .groupBy("vid")
+        .agg(F.sum("w").alias("recv"))
+    )
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    # live-side exchanges: exclude those buried inside cached relations
+    live = plan.split("InMemoryRelation")[0]
+    n_live_exchanges = live.count("Exchange ")
+    assert n_live_exchanges == 1, plan
+    assert "ShuffledHashJoin" in plan
+    csr.unpersist()
+    zeros.unpersist()
