@@ -231,6 +231,15 @@ def q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_und(spark, sf_dir), iters=LP_ITERS).orderBy("id")
 
 
+def q_labelprop_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-plan label propagation against the same oracle."""
+    from motive_spark.kernels import label_propagation
+
+    return label_propagation(
+        _und(spark, sf_dir), iters=LP_ITERS, strategy="csr"
+    ).orderBy("id")
+
+
 def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import triangle_count
 
@@ -263,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
+        "label_propagation_csr": q_labelprop_csr,
         "triangle_count_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         **_DATAPIPE_QUERIES,
@@ -301,6 +311,7 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "connected_components": SQL_COMPONENTS,
         "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),
+        "label_propagation_csr": _labelprop_sql(),
         "triangle_count_total": SQL_TRI
         + "SELECT COUNT(*) AS n_triangles FROM tri",
         "triangles_per_vertex": SQL_TRI
