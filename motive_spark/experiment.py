@@ -65,10 +65,12 @@ def fast_experiment(
     # evaluation rounds (--type full runs Beta under the same search,
     # MotifSearchModel.sizeBeta with betaSearchDepth — Compare.java:307)
     model = ("er", "el", "beta") if with_beta else ("er", "el")
+    # search_depth caps BOTH descents: it maps to the reference's
+    # --full.depth, which is the DS/Beta search depth (Compare.java:307)
     both = size_with_search(
         edges, occ, directed=directed, model=model, max_depth=search_depth,
-        beta_iterations=beta_iterations, seed=seed, max_rw=max_rw,
-        simplify=simplify,
+        beta_iterations=beta_iterations, beta_depth=search_depth, seed=seed,
+        max_rw=max_rw, simplify=simplify,
     ).cache()
     er = both.where(F.col("model") == "er").select(
         "canon",

@@ -97,6 +97,49 @@ def bd_sample_log_count(deg_seq: list[int], rng: np.random.Generator) -> float:
     return -(log_c + log_q)
 
 
+def _fanout_ln_samples(
+    spark: SparkSession | None,
+    sample_fns: list,
+    iterations: int,
+    seed: int,
+) -> list[np.ndarray]:
+    """Shared MC fan-out: ``sample_fns[h]`` maps an rng to one ln-count
+    sample for histogram h.  ALL histograms' iterations run in ONE Spark
+    job (row id = h * iterations + iter) — the per-call scaffolding is
+    single-sourced and a scoring round with 100 pending (motif, cutoff)
+    points pays one job, not 100 serialized ones.  The rng stream is
+    (seed, iter), identical to a per-histogram call, so results are
+    independent of the batching."""
+    n = len(sample_fns)
+    if n == 0:
+        return []
+    if spark is None or n * iterations <= 8:
+        return [
+            np.array(
+                [fn(np.random.default_rng((seed, i))) for i in range(iterations)]
+            )
+            for fn in sample_fns
+        ]
+
+    def run(batches):
+        for pdf in batches:
+            hs, vals = [], []
+            for rid in pdf["id"]:
+                h, it = divmod(int(rid), iterations)
+                rng = np.random.default_rng((seed, int(it)))
+                hs.append(h)
+                vals.append(sample_fns[h](rng))
+            yield pd.DataFrame({"h": hs, "ln_count": vals})
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(n * iterations).repartition(min(n * iterations, npart))
+    rows = df.mapInPandas(run, schema="h long, ln_count double").collect()
+    out: list[list[float]] = [[] for _ in range(n)]
+    for r in rows:
+        out[r.h].append(r.ln_count)
+    return [np.array(v) for v in out]
+
+
 def bd_log_count_samples(
     spark: SparkSession | None,
     deg_seq: list[int],
@@ -105,26 +148,10 @@ def bd_log_count_samples(
 ) -> np.ndarray:
     """``iterations`` independent ln-count estimates; Spark fan-out when a
     session is given (one seeded sample per task), else a local loop."""
-    deg_seq = [int(d) for d in deg_seq if d > 0] + [int(d) for d in deg_seq if d == 0]
-    if spark is None or iterations <= 8:
-        rngs = [np.random.default_rng((seed, i)) for i in range(iterations)]
-        return np.array([bd_sample_log_count(deg_seq, r) for r in rngs])
-
-    seq = list(map(int, deg_seq))
-
-    def run(batches):
-        for pdf in batches:
-            out = []
-            for it in pdf["id"]:
-                rng = np.random.default_rng((seed, int(it)))
-                out.append(bd_sample_log_count(seq, rng))
-            yield pd.DataFrame({"ln_count": out})
-
-    df = spark.range(iterations).repartition(
-        min(iterations, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    )
-    rows = df.mapInPandas(run, schema="ln_count double").collect()
-    return np.array([r.ln_count for r in rows])
+    seq = [int(d) for d in deg_seq if d > 0] + [int(d) for d in deg_seq if d == 0]
+    return _fanout_ln_samples(
+        spark, [lambda rng: bd_sample_log_count(seq, rng)], iterations, seed
+    )[0]
 
 
 def lognormal_upper(ln_samples: np.ndarray, alpha: float = 0.05) -> float:
@@ -170,6 +197,76 @@ def _z_quantile(p: float) -> float:
     )
 
 
+def graph_beta_codelength_batch(
+    spark: SparkSession | None,
+    hists: list,
+    directed: bool,
+    iterations: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> list[float]:
+    """DS-model codelengths of MANY graphs in ONE MC fan-out job.
+
+    ``hists``: {deg: count} dicts (undirected) or {(in, out): count}
+    joint dicts (directed).  Results are identical to per-histogram
+    calls (the rng stream depends only on (seed, iteration)); the point
+    is that a Beta search round with dozens of pending evaluations pays
+    one Spark job instead of one per (motif, cutoff).
+    """
+    from collections import Counter
+
+    results: list[float | None] = [None] * len(hists)
+    fns = []
+    seq_bits_pending: list[float] = []
+    for idx, h in enumerate(hists):
+        if directed:
+            in_seq: list[int] = []
+            out_seq: list[int] = []
+            for (i, o), c in sorted(h.items()):
+                in_seq.extend([int(i)] * int(c))
+                out_seq.extend([int(o)] * int(c))
+
+            def _marg_bits(marg):
+                ks = np.array(sorted(marg), dtype=np.float64)
+                cs = np.array(
+                    [marg[int(k)] for k in sorted(marg)], dtype=np.float64
+                )
+                return _degree_hist_entropy_bits(ks, cs)
+
+            seq_bits = _marg_bits(Counter(in_seq)) + _marg_bits(Counter(out_seq))
+            if sum(in_seq) == 0 and sum(out_seq) == 0:
+                results[idx] = float(seq_bits)
+                continue
+            fns.append(
+                lambda rng, o=list(out_seq), i2=list(in_seq): (
+                    bd_sample_log_count_directed(o, i2, rng)
+                )
+            )
+        else:
+            seq: list[int] = []
+            for dgr, cnt in sorted(h.items()):
+                seq.extend([int(dgr)] * int(cnt))
+            dv = np.array(sorted(h.keys()), dtype=np.float64)
+            dc = np.array([h[int(k)] for k in sorted(h.keys())], dtype=np.float64)
+            seq_bits = _degree_hist_entropy_bits(dv, dc)
+            if sum(seq) == 0:
+                results[idx] = float(seq_bits)
+                continue
+            norm = [d for d in seq if d > 0] + [d for d in seq if d == 0]
+            fns.append(lambda rng, s=norm: bd_sample_log_count(s, rng))
+        seq_bits_pending.append(float(seq_bits))
+
+    samples = _fanout_ln_samples(spark, fns, iterations, seed)
+    j = 0
+    for idx in range(len(hists)):
+        if results[idx] is None:
+            results[idx] = float(
+                seq_bits_pending[j] + lognormal_upper(samples[j], alpha) / _LN2
+            )
+            j += 1
+    return results  # type: ignore[return-value]
+
+
 def beta_codelength(
     spark: SparkSession | None,
     deg_hist: dict[int, int],
@@ -179,16 +276,9 @@ def beta_codelength(
 ) -> float:
     """DS-model codelength of an undirected graph: L(D) (ML code) +
     log2(upper-CI #graphs with D)."""
-    seq: list[int] = []
-    for dgr, cnt in sorted(deg_hist.items()):
-        seq.extend([int(dgr)] * int(cnt))
-    dv = np.array(sorted(deg_hist.keys()), dtype=np.float64)
-    dc = np.array([deg_hist[int(k)] for k in sorted(deg_hist.keys())], dtype=np.float64)
-    seq_bits = _degree_hist_entropy_bits(dv, dc)
-    if sum(seq) == 0:
-        return float(seq_bits)
-    ln_samples = bd_log_count_samples(spark, seq, iterations, seed)
-    return float(seq_bits + lognormal_upper(ln_samples, alpha) / _LN2)
+    return graph_beta_codelength_batch(
+        spark, [deg_hist], False, iterations, alpha, seed
+    )[0]
 
 
 def motif_beta_hist(mask: int, k: int, directed: bool):
@@ -267,28 +357,36 @@ def size_beta(
         .agg(F.first("mask").alias("mask"))
         .collect()
     }
+    live = [rec for rec in recs if rec["subbed_hist"] is not None]
+    # (max_rw-guarded motifs have no histogram → skipped, infinite size)
+    sub_hists = [
+        motif_beta_hist(masks[int(r["canon"])][1], masks[int(r["canon"])][0], directed)
+        for r in live
+    ]
+    if directed:
+        subbed_hists = [
+            {(int(i), int(o)): int(c) for i, o, c in r["subbed_hist"]} for r in live
+        ]
+    else:
+        subbed_hists = [
+            {int(d): int(c) for d, c in r["subbed_hist"]} for r in live
+        ]
+    # ONE fan-out job for all motifs' subbed sequences; the tiny k-node
+    # motif sequences sample locally
+    sub_bits = graph_beta_codelength_batch(
+        None, sub_hists, directed, iterations, alpha, seed
+    )
+    subbed_bits = graph_beta_codelength_batch(
+        spark, subbed_hists, directed, iterations, alpha, seed
+    )
     out = []
-    for rec in recs:
-        if rec["subbed_hist"] is None:
-            continue  # max_rw-guarded motif (infinite size, no histogram)
-        canon = rec["canon"]
-        k, mask = masks[canon]
-        mot_hist = motif_beta_hist(mask, k, directed)
-        sub_beta = graph_beta_codelength(
-            None, mot_hist, directed, iterations, alpha, seed
-        )
-        if directed:
-            subbed_hist = {(int(i), int(o)): int(c) for i, o, c in rec["subbed_hist"]}
-        else:
-            subbed_hist = {int(d): int(c) for d, c in rec["subbed_hist"]}
-        subbed_beta = graph_beta_codelength(
-            spark, subbed_hist, directed, iterations, alpha, seed
-        )
-        size = sub_beta + subbed_beta + rec["common_bits"]
+    for rec, sb, xb in zip(live, sub_bits, subbed_bits):
+        canon = int(rec["canon"])
+        size = sb + xb + rec["common_bits"]
         out.append(
             {
                 "canon": canon,
-                "k": k,
+                "k": masks[canon][0],
                 "size_beta": size,
                 "factor_beta": baseline - size,
             }
@@ -391,23 +489,12 @@ def bd_log_count_samples_directed(
     task), else a local loop."""
     o = list(map(int, out_seq))
     i_ = list(map(int, in_seq))
-    if spark is None or iterations <= 8:
-        rngs = [np.random.default_rng((seed, i)) for i in range(iterations)]
-        return np.array([bd_sample_log_count_directed(o, i_, r) for r in rngs])
-
-    def run(batches):
-        for pdf in batches:
-            out = []
-            for it in pdf["id"]:
-                rng = np.random.default_rng((seed, int(it)))
-                out.append(bd_sample_log_count_directed(o, i_, rng))
-            yield pd.DataFrame({"ln_count": out})
-
-    df = spark.range(iterations).repartition(
-        min(iterations, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    )
-    rows = df.mapInPandas(run, schema="ln_count double").collect()
-    return np.array([r.ln_count for r in rows])
+    return _fanout_ln_samples(
+        spark,
+        [lambda rng: bd_sample_log_count_directed(o, i_, rng)],
+        iterations,
+        seed,
+    )[0]
 
 
 def beta_codelength_directed(
@@ -425,25 +512,6 @@ def beta_codelength_directed(
     count (two vertices with pairs (2,0),(0,2) admit different graphs
     than (2,2),(0,0) despite equal marginals).
     """
-    from collections import Counter
-
-    in_seq: list[int] = []
-    out_seq: list[int] = []
-    for (i, o), c in sorted(joint_hist.items()):
-        in_seq.extend([int(i)] * int(c))
-        out_seq.extend([int(o)] * int(c))
-    in_marg = Counter(in_seq)
-    out_marg = Counter(out_seq)
-
-    def _marg_bits(marg):
-        ks = np.array(sorted(marg), dtype=np.float64)
-        cs = np.array([marg[int(k)] for k in sorted(marg)], dtype=np.float64)
-        return _degree_hist_entropy_bits(ks, cs)
-
-    seq_bits = _marg_bits(in_marg) + _marg_bits(out_marg)
-    if sum(in_seq) == 0 and sum(out_seq) == 0:
-        return float(seq_bits)
-    ln_samples = bd_log_count_samples_directed(
-        spark, out_seq, in_seq, iterations, seed
-    )
-    return float(seq_bits + lognormal_upper(ln_samples, alpha) / _LN2)
+    return graph_beta_codelength_batch(
+        spark, [joint_hist], True, iterations, alpha, seed
+    )[0]

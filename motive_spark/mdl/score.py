@@ -79,7 +79,14 @@ def precompute_globals(
         F.col("mult").cast("long") if "mult" in edges.columns else F.lit(1).cast("long")
     )
     if directed:
-        base_e = edges.select("src", "dst", mult_in.alias("mult"))
+        # self-loops dropped in BOTH orientations: every null model here is
+        # RestrictedToSimple (ER maxlinks = n(n-1) excludes loops, and a
+        # loop inflates in+out degree together, which the FCA feasibility
+        # check of the directed DS sampler rightly rejects) — matching
+        # Graphs.toSimpleDGraph's loop removal.
+        base_e = edges.select("src", "dst", mult_in.alias("mult")).where(
+            F.col("src") != F.col("dst")
+        )
     else:
         base_e = edges.select(
             F.least("src", "dst").alias("src"),

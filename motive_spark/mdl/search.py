@@ -83,27 +83,6 @@ def _zero_occurrence_size(n, m, hists, mask, k, directed, model):
     return sub + subbed + labels + multi  # wiring 0, insertions 0
 
 
-def _beta_size_from_row(
-    spark, row, sub_beta_bits: float, directed: bool,
-    iterations: int, alpha: float, seed: int,
-) -> float:
-    """Beta size of one (motif, cutoff) evaluation from a
-    score_motifs_with_hists row: motif DS bits + subbed DS bits (MC
-    sampled over the row's subbed degree histogram) + structural terms."""
-    from motive_spark.mdl.beta import graph_beta_codelength
-
-    if row["subbed_hist"] is None:
-        return float("inf")  # max_rw-guarded
-    if directed:
-        subbed = {(int(i), int(o)): int(c) for i, o, c in row["subbed_hist"]}
-    else:
-        subbed = {int(d): int(c) for d, c in row["subbed_hist"]}
-    subbed_bits = graph_beta_codelength(
-        spark, subbed, directed, iterations, alpha, seed
-    )
-    return float(sub_beta_bits + subbed_bits + row["common_bits"])
-
-
 def size_with_search(
     edges: DataFrame,
     occurrences: DataFrame,
@@ -249,18 +228,39 @@ def size_with_search(
                 max_rw=max_rw,
                 _with_hists=with_beta,
             ).collect()
+            beta_rows: list[tuple[int, int, dict]] = []
             for r in res:
                 idx, cutoff = divmod(int(r["canon"]), _GID_BASE)
                 canon = canon_list[idx]
                 for mo in models:
                     if mo == "beta":
                         if (canon, cutoff) in beta_pending:
-                            cache[mo][(canon, cutoff)] = _beta_size_from_row(
-                                spark, r, sub_beta[canon], directed,
-                                beta_iterations, beta_alpha, seed,
-                            )
+                            beta_rows.append((canon, cutoff, r))
                     else:
                         cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
+            if beta_rows:
+                # ONE MC fan-out job for the whole round's beta points
+                from motive_spark.mdl.beta import graph_beta_codelength_batch
+
+                hists, keyed = [], []
+                for canon, cutoff, r in beta_rows:
+                    if r["subbed_hist"] is None:  # max_rw-guarded
+                        cache["beta"][(canon, cutoff)] = float("inf")
+                        continue
+                    if directed:
+                        hists.append(
+                            {(int(a), int(b)): int(c) for a, b, c in r["subbed_hist"]}
+                        )
+                    else:
+                        hists.append(
+                            {int(d): int(c) for d, c in r["subbed_hist"]}
+                        )
+                    keyed.append((canon, cutoff, float(r["common_bits"])))
+                vals = graph_beta_codelength_batch(
+                    spark, hists, directed, beta_iterations, beta_alpha, seed
+                )
+                for (canon, cutoff, common), v in zip(keyed, vals):
+                    cache["beta"][(canon, cutoff)] = sub_beta[canon] + v + common
 
         all_done = True
         for mo in models:

@@ -37,7 +37,7 @@ def naive_score(
     contributes its own wiring anchors and removal counts).
     """
     if directed:
-        edges = sorted(set(pairs))
+        edges = sorted({(a, b) for a, b in pairs if a != b})
     else:
         edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
     mult = dict(mult or {})
