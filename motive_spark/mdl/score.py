@@ -648,13 +648,15 @@ def _assemble_motif(
             bump_j((0, 0), n_isolated_reps)
         sub_er = float(er_bits(k, m_motif, directed=True))
         subbed_er = float(er_bits(n_sub, m_sub_graph, directed=True))
+        # marginals from the single-sourced joint motif histogram
+        # (motif_beta_hist owns the in/out orientation convention)
+        from motive_spark.mdl.beta import motif_beta_hist
+
         mot_in: dict[int, int] = {}
         mot_out: dict[int, int] = {}
-        for i in range(k):
-            od = sum(1 for x, y in medges if x == i)
-            idg = sum(1 for x, y in medges if y == i)
-            mot_out[od] = mot_out.get(od, 0) + 1
-            mot_in[idg] = mot_in.get(idg, 0) + 1
+        for (ind, outd), c in motif_beta_hist(mask, k, True).items():
+            mot_in[ind] = mot_in.get(ind, 0) + c
+            mot_out[outd] = mot_out.get(outd, 0) + c
         sub_el = el_bits_directed(mot_in, mot_out, m_motif)
         subbed_el = el_bits_directed(hist_in, hist_out, m_sub_graph)
     else:
@@ -677,11 +679,9 @@ def _assemble_motif(
             bump(hist_u, 0, n_isolated_reps)
         sub_er = float(er_bits(k, m_motif, directed=False))
         subbed_er = float(er_bits(n_sub, m_sub_graph, directed=False))
-        mot_hist: dict[int, int] = {}
-        for i in range(k):
-            dd = sum(1 for x, y in medges if x == i or y == i)
-            mot_hist[dd] = mot_hist.get(dd, 0) + 1
-        sub_el = el_bits_undirected(mot_hist, m_motif)
+        from motive_spark.mdl.beta import motif_beta_hist
+
+        sub_el = el_bits_undirected(motif_beta_hist(mask, k, False), m_motif)
         subbed_el = el_bits_undirected(hist_u, m_sub_graph)
 
     common = wiring + labels + insertions + multi_bits

@@ -63,20 +63,19 @@ def _zero_occurrence_size(n, m, hists, mask, k, directed, model):
         sub = float(er_bits(k, m_motif, directed=directed))
         subbed = float(er_bits(n, m, directed=directed))
     else:
-        if directed:
-            from collections import Counter
+        # marginals from the single-sourced joint motif histogram
+        from motive_spark.mdl.beta import motif_beta_hist
 
-            mi = Counter(sum(1 for x, y in medges if y == i) for i in range(k))
-            mo = Counter(sum(1 for x, y in medges if x == i) for i in range(k))
+        if directed:
+            mi: dict[int, int] = {}
+            mo: dict[int, int] = {}
+            for (ind, outd), c in motif_beta_hist(int(mask), k, True).items():
+                mi[ind] = mi.get(ind, 0) + c
+                mo[outd] = mo.get(outd, 0) + c
             sub = el_bits_directed(mi, mo, m_motif)
             subbed = el_bits_directed(hists[0], hists[1], m)
         else:
-            from collections import Counter
-
-            mh = Counter(
-                sum(1 for x, y in medges if x == i or y == i) for i in range(k)
-            )
-            sub = el_bits_undirected(mh, m_motif)
+            sub = el_bits_undirected(motif_beta_hist(int(mask), k, False), m_motif)
             subbed = el_bits_undirected(hists, m)
     labels = float(codes.prefix_bits(0) + codes.log2_choose(0, n))
     multi = float(codes.prefix_bits(0))

@@ -149,3 +149,24 @@ def test_cli_edgelist_loader_and_convert(spark, tmp_path):
                "--master", "local[2]"])
     assert rc == 0
     assert spark.read.parquet(out).count() == 3
+
+
+def test_gml_nested_subblocks(spark, tmp_path):
+    """Blocks with nested sub-blocks (the common graphics [...] form)
+    keep the attributes that FOLLOW the nested block."""
+    p = str(tmp_path / "n.gml")
+    with open(p, "w") as f:
+        f.write(
+            'graph [\n'
+            '  directed 1\n'
+            '  node [ id 1 graphics [ w 10 h 10 ] label "one" ]\n'
+            '  node [ id 2 label "two" ]\n'
+            '  edge [ source 1 graphics [ ] target 2 ]\n'
+            ']\n'
+        )
+    from motive_spark.graph.gml import read_gml
+
+    out = read_gml(spark, p)
+    assert [(r["src"], r["dst"]) for r in out["edges"].collect()] == [(1, 2)]
+    labels = {r["id"]: r["label"] for r in out["nodes"].collect()}
+    assert labels == {1: "one", 2: "two"}
