@@ -56,35 +56,28 @@ def vertices(edges: DataFrame) -> DataFrame:
     )
 
 
-def normalize_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")):
-    """Map arbitrary vertex keys to dense longs 0..n-1.
+def dense_index(keys: DataFrame, key_col: str) -> DataFrame:
+    """Rank distinct ``key_col`` values to dense longs 0..n-1, scalably.
 
-    Returns (edges_dense, vertex_map) where vertex_map = (orig_key, id).
-
-    Two-phase assignment: range-partition the distinct keys, rank within
-    each partition, then add the cumulative count of the preceding
-    partitions (collected offsets — one row per PARTITION, never per
-    vertex).  id = global rank in sorted key order, exactly as a global
-    window would produce, but no single task ever sees the whole vertex
-    set.  The ranked table is localCheckpointed before the count job so
-    both jobs observe the SAME sampled range boundaries.
+    Returns (key_col, id) with id = global rank in sorted key order —
+    exactly what ``row_number().over(Window.orderBy(key_col)) - 1``
+    produces, WITHOUT the single-partition global sort: range-partition
+    the keys, rank within each partition, then add the cumulative count
+    of the preceding partitions (collected offsets — one row per
+    PARTITION, never per key).  The ranked table is localCheckpointed
+    before the count job so both jobs observe the SAME sampled range
+    boundaries.
     """
-    s, d = key_cols
-    spark = edges.sparkSession
+    spark = keys.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    vs = (
-        edges.select(F.col(s).alias("orig_key"))
-        .union(edges.select(F.col(d).alias("orig_key")))
-        .distinct()
-    )
     local = (
-        vs.repartitionByRange(npart, "orig_key")
+        keys.select(key_col)
+        .distinct()
+        .repartitionByRange(npart, key_col)
         .withColumn("part", F.spark_partition_id())
         .withColumn(
             "local_rank",
-            F.row_number().over(
-                Window.partitionBy("part").orderBy("orig_key")
-            ),
+            F.row_number().over(Window.partitionBy("part").orderBy(key_col)),
         )
         .localCheckpoint(eager=True)
     )
@@ -97,10 +90,26 @@ def normalize_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")):
         offsets.append((p, acc))
         acc += counts[p]
     off_df = spark.createDataFrame(offsets or [(0, 0)], "part int, offset long")
-    vmap = local.join(F.broadcast(off_df), on="part").select(
-        "orig_key",
+    return local.join(F.broadcast(off_df), on="part").select(
+        key_col,
         (F.col("offset") + F.col("local_rank") - 1).cast("long").alias("id"),
     )
+
+
+def normalize_ids(edges: DataFrame, key_cols: tuple[str, str] = ("src", "dst")):
+    """Map arbitrary vertex keys to dense longs 0..n-1.
+
+    Returns (edges_dense, vertex_map) where vertex_map = (orig_key, id).
+    Uses the two-phase :func:`dense_index` — no single task ever sees the
+    whole vertex set.
+    """
+    s, d = key_cols
+    vs = (
+        edges.select(F.col(s).alias("orig_key"))
+        .union(edges.select(F.col(d).alias("orig_key")))
+        .distinct()
+    )
+    vmap = dense_index(vs, "orig_key")
     dense = (
         edges.join(vmap.withColumnRenamed("orig_key", s), on=s)
         .withColumnRenamed("id", "src_id")

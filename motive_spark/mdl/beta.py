@@ -197,6 +197,29 @@ def _z_quantile(p: float) -> float:
     )
 
 
+def _expand_directed(items):
+    """(in,out)-histogram items → (out_seq, in_seq), worker-side.
+
+    Same expansion order as iterating the sorted joint histogram, so the
+    BD sampler sees the identical sequence the old driver-side expansion
+    produced."""
+    in_seq: list[int] = []
+    out_seq: list[int] = []
+    for (i, o), c in items:
+        in_seq.extend([i] * c)
+        out_seq.extend([o] * c)
+    return out_seq, in_seq
+
+
+def _expand_undirected(items):
+    """degree-histogram items → BD-normalized sequence (positives first,
+    zeros appended, stable order), worker-side."""
+    seq: list[int] = []
+    for dgr, cnt in items:
+        seq.extend([dgr] * cnt)
+    return [d for d in seq if d > 0] + [d for d in seq if d == 0]
+
+
 def graph_beta_codelength_batch(
     spark: SparkSession | None,
     hists: list,
@@ -219,13 +242,13 @@ def graph_beta_codelength_batch(
     fns = []
     seq_bits_pending: list[float] = []
     for idx, h in enumerate(hists):
+        # Closures ship ONLY the (degree, count) item list — O(distinct
+        # degrees), never O(|V|).  The sequence expansion happens inside
+        # the worker (deterministic given the sorted items, so results
+        # are bit-identical to the old driver-side expansion).
+        items = sorted((tuple(map(int, k)) if directed else int(k), int(c))
+                       for k, c in h.items())
         if directed:
-            in_seq: list[int] = []
-            out_seq: list[int] = []
-            for (i, o), c in sorted(h.items()):
-                in_seq.extend([int(i)] * int(c))
-                out_seq.extend([int(o)] * int(c))
-
             def _marg_bits(marg):
                 ks = np.array(sorted(marg), dtype=np.float64)
                 cs = np.array(
@@ -233,27 +256,32 @@ def graph_beta_codelength_batch(
                 )
                 return _degree_hist_entropy_bits(ks, cs)
 
-            seq_bits = _marg_bits(Counter(in_seq)) + _marg_bits(Counter(out_seq))
-            if sum(in_seq) == 0 and sum(out_seq) == 0:
+            marg_in: Counter = Counter()
+            marg_out: Counter = Counter()
+            for (i, o), c in items:
+                marg_in[i] += c
+                marg_out[o] += c
+            seq_bits = _marg_bits(marg_in) + _marg_bits(marg_out)
+            if all(i == 0 and o == 0 for (i, o), _ in items):
                 results[idx] = float(seq_bits)
                 continue
             fns.append(
-                lambda rng, o=list(out_seq), i2=list(in_seq): (
-                    bd_sample_log_count_directed(o, i2, rng)
+                lambda rng, it=items: bd_sample_log_count_directed(
+                    *_expand_directed(it), rng
                 )
             )
         else:
-            seq: list[int] = []
-            for dgr, cnt in sorted(h.items()):
-                seq.extend([int(dgr)] * int(cnt))
-            dv = np.array(sorted(h.keys()), dtype=np.float64)
-            dc = np.array([h[int(k)] for k in sorted(h.keys())], dtype=np.float64)
+            dv = np.array([k for k, _ in items], dtype=np.float64)
+            dc = np.array([c for _, c in items], dtype=np.float64)
             seq_bits = _degree_hist_entropy_bits(dv, dc)
-            if sum(seq) == 0:
+            if all(k == 0 for k, _ in items):
                 results[idx] = float(seq_bits)
                 continue
-            norm = [d for d in seq if d > 0] + [d for d in seq if d == 0]
-            fns.append(lambda rng, s=norm: bd_sample_log_count(s, rng))
+            fns.append(
+                lambda rng, it=items: bd_sample_log_count(
+                    _expand_undirected(it), rng
+                )
+            )
         seq_bits_pending.append(float(seq_bits))
 
     samples = _fanout_ln_samples(spark, fns, iterations, seed)

@@ -23,8 +23,44 @@ with map-side partial min — skew-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from motive_spark.graph.normalize import dense_index
+
+
+def seed_states(
+    verts: DataFrame,
+    n: int,
+    n_samples: int,
+    min_size: int,
+    max_size: int,
+    seed: int,
+) -> DataFrame:
+    """Initial sampler state: (occ_id, k, vertices=[seed vertex]).
+
+    Seed vertices are uniform-with-replacement over the vertex set:
+    sample i draws index ``xxhash64(i, seed) mod n`` and is mapped to the
+    vertex of that dense rank.  The rank comes from the two-phase
+    :func:`dense_index` (per-partition offsets — identical values to a
+    global ``row_number`` window, but no single-partition sort), and the
+    samples→vertex mapping is a plain equi-join on the index so Catalyst/
+    AQE picks broadcast vs shuffle from the actual |V| — no forced
+    |V|-row broadcast.
+    """
+    spark = verts.sparkSession
+    vidx = dense_index(verts, "v").withColumnRenamed("id", "vix")
+    samples = spark.range(n_samples).select(
+        F.col("id").alias("occ_id"),
+        (
+            F.lit(min_size)
+            + F.pmod(F.xxhash64("id", F.lit(seed), F.lit("k")), F.lit(max_size - min_size + 1))
+        ).cast("int").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(seed), F.lit("seed_v")), F.lit(n)).alias("vix"),
+    )
+    return samples.join(vidx, on="vix").select(
+        "occ_id", "k", F.array("v").alias("vertices")
+    )
 
 
 def sample_connected_subgraphs(
@@ -58,22 +94,7 @@ def sample_connected_subgraphs(
     if n == 0:
         return spark.createDataFrame([], "occ_id long, vertices array<long>, k int")
 
-    vidx = verts.withColumn(
-        "vix", F.row_number().over(Window.orderBy("v")).cast("long") - 1
-    )
-
-    samples = spark.range(n_samples).select(
-        F.col("id").alias("occ_id"),
-        (
-            F.lit(min_size)
-            + F.pmod(F.xxhash64("id", F.lit(seed), F.lit("k")), F.lit(max_size - min_size + 1))
-        ).cast("int").alias("k"),
-        F.pmod(F.xxhash64("id", F.lit(seed), F.lit("seed_v")), F.lit(n)).alias("vix"),
-    )
-    state = (
-        samples.join(F.broadcast(vidx), on="vix")
-        .select("occ_id", "k", F.array("v").alias("vertices"))
-    )
+    state = seed_states(verts, n, n_samples, min_size, max_size, seed)
 
     for t in range(1, max_size):
         grow = state.where(F.size("vertices") < F.col("k"))

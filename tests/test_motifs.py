@@ -258,3 +258,30 @@ def test_extractor_label_sensitive(spark):
     occ = labeled.occurrences().limit(5).collect()
     for r in occ:
         assert len(r["labels"]) == r["k"]
+
+
+def test_sampler_seed_plan_no_single_partition_exchange(spark):
+    """The seed-vertex setup must not sort |V| through one task nor force
+    a |V|-row broadcast (VERDICT r2 #1): the dense index comes from
+    two-phase per-partition offsets and the samples->vertex map is a
+    plain equi-join."""
+    from motive_spark.motifs.sample import seed_states
+
+    pairs = random_pairs(300, 1500, seed=21)
+    edges = edges_df(spark, pairs)
+    verts = (
+        edges.selectExpr("src as v")
+        .union(edges.selectExpr("dst as v"))
+        .distinct()
+    )
+    n = verts.count()
+    state = seed_states(verts, n, 200, 3, 5, seed=7)
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    # seeds are valid vertices, one row per surviving sample, k in range
+    rows = state.collect()
+    assert len(rows) == 200
+    vs = {r.v for r in verts.collect()}
+    for r in rows:
+        assert len(r.vertices) == 1 and r.vertices[0] in vs
+        assert 3 <= r.k <= 5
