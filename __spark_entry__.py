@@ -523,17 +523,87 @@ ORDER BY query_id, rank"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (mapInPandas featurizer — not SQL-expressible)."""
+    """Integer-exact contract for the mapInPandas byte-histogram
+    featurizer: per-bin byte COUNTS recovered from the normalized
+    float32 features via round(f * n_bytes) (exact — float32 error is
+    ~1e-4 of a count at n_bytes <= 553, far under the 0.5 rounding
+    radius), plus a (bin+1)-weighted checksum over all 32 bins so the
+    whole histogram is pinned, not just the sampled bins."""
     from motive_spark.datapipe.multimodal import (
         attach_binary_payload,
         byte_histogram_features,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    feats = byte_histogram_features(attach_binary_payload(docs))
-    return feats.select(
-        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    tab = attach_binary_payload(docs)
+    feats = byte_histogram_features(tab).join(
+        tab.select("doc_id", F.col("meta.n_bytes").cast("long").alias("n_bytes")),
+        on="doc_id",
+    )
+    counts = F.transform(
+        "features",
+        lambda f: F.round(f.cast("double") * F.col("n_bytes")).cast("long"),
+    )
+    c = feats.select("doc_id", "n_bytes", counts.alias("c"))
+    weighted = F.aggregate(
+        F.zip_with(
+            "c",
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda a, b: a * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return c.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("c", 5).alias("c_bin4"),
+        F.element_at("c", 13).alias("c_bin12"),
+        F.element_at("c", 14).alias("c_bin13"),
+        F.element_at("c", 15).alias("c_bin14"),
+        weighted.alias("wsum"),
     ).orderBy("doc_id")
+
+
+def q_motif_planted_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL MDL pipeline pinned cross-engine (A4/A5/A9/A11/A12 end to
+    end): MotifExtractor sampling + node-disjoint selection +
+    score_motifs' instance-loop scoring, on the deterministic planted
+    13-node "4 triangles + hub" fixture (FIXTURES.md; shape from motive
+    UPlainMotifExtractorTest.java:23-82).  The fixture is independent of
+    sf_dir by design: the 4 planted triangles are the graph's ONLY
+    triangles and are vertex-disjoint, so the selected occurrence set is
+    provably {all 4} — which lets the DuckDB oracle re-derive the
+    occurrences itself (triangle enumeration) and recompute the six-term
+    naive-contraction codelength from scratch with lgamma, the
+    MotifModelTest.java:540-641 exact-small-graph-golden pattern."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs.extract import MotifExtractor
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0),
+        (3, 4), (4, 5), (5, 3),
+        (6, 7), (7, 8), (8, 6),
+        (9, 10), (10, 11), (11, 9),
+        (12, 0), (12, 3), (12, 6), (12, 9),
+    ]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    ext = MotifExtractor(
+        edges, samples=800, min_size=3, max_size=3, min_freq=2,
+        seed=7, directed=False,
+    )
+    tri_canon = 238  # canonical_form of the k=3 undirected triangle
+    occ = ext.occurrences(canon=tri_canon)
+    scored = score_motifs(edges, occ, directed=False)
+    return scored.select(
+        F.lit("triangle").alias("motif"),
+        F.col("k").cast("int").alias("k"),
+        F.col("n_occurrences").cast("long").alias("n_occ"),
+        F.round("size_er", 6).alias("size_er"),
+        F.round("size_el", 6).alias("size_el"),
+        F.round("factor_er", 6).alias("factor_er"),
+        F.round("factor_el", 6).alias("factor_el"),
+    )
 
 
 def q_motif_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,13 +795,174 @@ _DATAPIPE_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "motif_triad_census": q_motif_triad_census,
     "motif_k3_er_factors": q_motif_k3_er_factors,
+    "motif_planted_factors": q_motif_planted_factors,
 }
+
+
+
+# full-pipeline MDL golden: six-term naive-contraction codelength of the
+# planted tri-hub fixture, derived in SQL from scratch (triangle
+# enumeration -> contraction -> KT/lgamma code arithmetic)
+SQL_PLANTED_FACTORS = """
+WITH fixture(src, dst) AS (VALUES
+  (0,1),(1,2),(2,0),(3,4),(4,5),(5,3),(6,7),(7,8),(8,6),
+  (9,10),(10,11),(11,9),(12,0),(12,3),(12,6),(12,9)),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM fixture WHERE src != dst),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)),
+nm AS (SELECT (SELECT COUNT(*) FROM verts) AS n, (SELECT COUNT(*) FROM und) AS m),
+tri AS (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM und a JOIN und b ON b.src = a.src AND b.dst > a.dst
+  JOIN und c ON c.src = a.dst AND c.dst = b.dst),
+occ AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY x, y, z) AS occ_id, x, y, z FROM tri),
+member AS MATERIALIZED (
+  SELECT occ_id, x AS v, 0 AS pos, x AS rep FROM occ
+  UNION ALL SELECT occ_id, y, 1, x FROM occ
+  UNION ALL SELECT occ_id, z, 2, x FROM occ),
+mapped AS (
+  SELECT ms.occ_id AS occ_s, ms.pos AS pos_s, COALESCE(ms.rep, e.src) AS ns,
+         md.occ_id AS occ_d, md.pos AS pos_d, COALESCE(md.rep, e.dst) AS nd
+  FROM und e
+  LEFT JOIN member ms ON ms.v = e.src
+  LEFT JOIN member md ON md.v = e.dst),
+surviving AS MATERIALIZED (
+  SELECT LEAST(ns, nd) AS a, GREATEST(ns, nd) AS b, occ_s, pos_s, occ_d, pos_d
+  FROM mapped
+  WHERE occ_s IS NULL OR occ_d IS NULL OR occ_s != occ_d),
+pair_mult AS MATERIALIZED (SELECT a, b, COUNT(*) AS pm FROM surviving GROUP BY a, b),
+-- wiring bits: KT closed form per occurrence, alphabet k=3, alpha=0.5
+wiring AS (
+  SELECT occ_s AS occ_id, pos_s AS pos FROM surviving WHERE occ_s IS NOT NULL
+  UNION ALL
+  SELECT occ_d, pos_d FROM surviving WHERE occ_d IS NOT NULL),
+wb_occ AS (
+  SELECT occ_id,
+         (lgamma(SUM(c) + 1.5) - lgamma(1.5)) / ln(2)
+         - SUM((lgamma(c + 0.5) - lgamma(0.5)) / ln(2)) AS bits
+  FROM (SELECT occ_id, pos, COUNT(*) AS c FROM wiring GROUP BY occ_id, pos)
+  GROUP BY occ_id),
+wiring_bits AS (SELECT COALESCE(SUM(bits), 0) AS v FROM wb_occ),
+-- multi-edge additions: pm-1 for contracted pairs incident to a rep
+additions AS (
+  SELECT pm - 1 AS val FROM pair_mult p
+  WHERE p.a IN (SELECT DISTINCT rep FROM member)
+     OR p.b IN (SELECT DISTINCT rep FROM member)),
+add_stats AS (SELECT COUNT(*) AS nv, MAX(val) AS mx FROM additions),
+add_grp AS (SELECT val, COUNT(*) AS c FROM additions GROUP BY val),
+multi_bits AS (
+  SELECT CASE WHEN (SELECT nv FROM add_stats) = 0 THEN 1.0
+    ELSE (2 * floor(log2((SELECT mx FROM add_stats) + 1.0)) + 1)
+      + (lgamma((SELECT nv FROM add_stats) + 0.5 * ((SELECT mx FROM add_stats) + 1))
+         - lgamma(0.5 * ((SELECT mx FROM add_stats) + 1))) / ln(2)
+      - (SELECT SUM((lgamma(c + 0.5) - lgamma(0.5)) / ln(2)) FROM add_grp)
+  END AS v),
+counts0 AS (
+  SELECT (SELECT COUNT(*) FROM occ) AS n_occ,
+         (SELECT n FROM nm) - 2 * (SELECT COUNT(*) FROM occ) AS n_sub,
+         (SELECT COUNT(*) FROM pair_mult) AS m_sub,
+         (SELECT n FROM nm) AS n, (SELECT m FROM nm) AS m),
+labels_ins AS (
+  SELECT (2 * floor(log2(n_occ + 1.0)) + 1)
+         + (lgamma(n_sub + 1.0) - lgamma(n_occ + 1.0) - lgamma(n_sub - n_occ + 1.0)) / ln(2) AS labels,
+         (lgamma(n + 1.0) - lgamma(n_sub + 1.0)) / ln(2) AS insertions
+  FROM counts0),
+-- subbed degree histogram over the n_sub surviving vertices
+subv AS (
+  SELECT v FROM verts WHERE v NOT IN (SELECT v FROM member WHERE v != rep)),
+subdeg AS (
+  SELECT sv.v, COALESCE(d.deg, 0) AS deg
+  FROM subv sv LEFT JOIN (
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT a AS v FROM pair_mult UNION ALL SELECT b FROM pair_mult)
+    GROUP BY v) d ON d.v = sv.v),
+subhist AS (SELECT deg, COUNT(*) AS c FROM subdeg GROUP BY deg),
+basedeg AS (
+  SELECT vv.v, COALESCE(d.deg, 0) AS deg
+  FROM verts vv LEFT JOIN (
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT src AS v FROM und UNION ALL SELECT dst FROM und)
+    GROUP BY v) d ON d.v = vv.v),
+basehist AS (SELECT deg, COUNT(*) AS c FROM basedeg GROUP BY deg),
+motifhist(deg, c) AS (VALUES (2, 3)),  -- triangle: all three vertices degree 2
+-- EL codelength, undirected: prefix(maxdeg) + n*H(hist) + lg((2m)!) - sum c*lg(d!) - lg(m!) - m
+el_sub AS (
+  SELECT (2 * floor(log2(MAX(deg) + 1.0)) + 1)
+         - SUM(c * log2(c / CAST((SELECT n_sub FROM counts0) AS DOUBLE)))
+         + (lgamma(2.0 * (SELECT m_sub FROM counts0) + 1) - lgamma((SELECT m_sub FROM counts0) + 1.0)) / ln(2)
+         - SUM(c * lgamma(deg + 1.0) / ln(2))
+         - (SELECT m_sub FROM counts0) AS v
+  FROM subhist),
+el_base AS (
+  SELECT (2 * floor(log2(MAX(deg) + 1.0)) + 1)
+         - SUM(c * log2(c / CAST((SELECT n FROM counts0) AS DOUBLE)))
+         + (lgamma(2.0 * (SELECT m FROM counts0) + 1) - lgamma((SELECT m FROM counts0) + 1.0)) / ln(2)
+         - SUM(c * lgamma(deg + 1.0) / ln(2))
+         - (SELECT m FROM counts0) AS v
+  FROM basehist),
+el_motif AS (
+  SELECT (2 * floor(log2(MAX(deg) + 1.0)) + 1)
+         - SUM(c * log2(c / 3.0))
+         + (lgamma(2.0 * 3 + 1) - lgamma(3 + 1.0)) / ln(2)
+         - SUM(c * lgamma(deg + 1.0) / ln(2))
+         - 3 AS v
+  FROM motifhist),
+-- ER codelength: log2 C(maxlinks, m) + prefix(n) + log2(maxlinks + 1)
+er_sub AS (
+  SELECT (lgamma(n_sub * (n_sub - 1) / 2.0 + 1) - lgamma(m_sub + 1.0)
+          - lgamma(n_sub * (n_sub - 1) / 2.0 - m_sub + 1)) / ln(2)
+         + (2 * floor(log2(n_sub + 1.0)) + 1) + log2(n_sub * (n_sub - 1) / 2.0 + 1) AS v
+  FROM counts0),
+er_base AS (
+  SELECT (lgamma(n * (n - 1) / 2.0 + 1) - lgamma(m + 1.0)
+          - lgamma(n * (n - 1) / 2.0 - m + 1)) / ln(2)
+         + (2 * floor(log2(n + 1.0)) + 1) + log2(n * (n - 1) / 2.0 + 1) AS v
+  FROM counts0),
+er_motif AS (
+  SELECT (lgamma(3 * 2 / 2.0 + 1) - lgamma(3 + 1.0) - lgamma(3 * 2 / 2.0 - 3 + 1)) / ln(2)
+         + (2 * floor(log2(3 + 1.0)) + 1) + log2(3 * 2 / 2.0 + 1) AS v),
+common AS (
+  SELECT (SELECT v FROM wiring_bits) + (SELECT v FROM multi_bits)
+         + (SELECT labels FROM labels_ins) + (SELECT insertions FROM labels_ins) AS v)
+SELECT 'triangle' AS motif, 3 AS k, (SELECT n_occ FROM counts0) AS n_occ,
+  ROUND((SELECT v FROM er_motif) + (SELECT v FROM er_sub) + (SELECT v FROM common), 6) AS size_er,
+  ROUND((SELECT v FROM el_motif) + (SELECT v FROM el_sub) + (SELECT v FROM common), 6) AS size_el,
+  ROUND((SELECT v FROM er_base) - ((SELECT v FROM er_motif) + (SELECT v FROM er_sub) + (SELECT v FROM common)), 6) AS factor_er,
+  ROUND((SELECT v FROM el_base) - ((SELECT v FROM el_motif) + (SELECT v FROM el_sub) + (SELECT v FROM common)), 6) AS factor_el"""
 
 _DATAPIPE_ORACLES = {
     "dedup_exact": """
 SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
+    # byte-exact featurizer contract: blob bytes recovered from hex()
+    # digit pairs (strpos over '123456789ABCDEF' maps '0'->0 .. 'F'->15),
+    # binned >>3, compared as integer counts + a (bin+1)-weighted
+    # checksum over all 32 bins — no float crosses the engine boundary
+    "multimodal_features": """
+WITH pay AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id,
+         (strpos('123456789ABCDEF', substr(hx, 2*i+1, 1)) * 16
+          + strpos('123456789ABCDEF', substr(hx, 2*i+2, 1))) // 8 AS bin
+  FROM pay, UNNEST(range(n)) AS t(i)
+),
+counts AS (
+  SELECT doc_id, bin, COUNT(*) AS c FROM bytes GROUP BY doc_id, bin
+)
+SELECT p.doc_id, CAST(p.n AS BIGINT) AS n_bytes,
+  CAST(COALESCE(SUM(CASE WHEN bin = 4 THEN c END), 0) AS BIGINT) AS c_bin4,
+  CAST(COALESCE(SUM(CASE WHEN bin = 12 THEN c END), 0) AS BIGINT) AS c_bin12,
+  CAST(COALESCE(SUM(CASE WHEN bin = 13 THEN c END), 0) AS BIGINT) AS c_bin13,
+  CAST(COALESCE(SUM(CASE WHEN bin = 14 THEN c END), 0) AS BIGINT) AS c_bin14,
+  CAST(COALESCE(SUM((bin + 1) * c), 0) AS BIGINT) AS wsum
+FROM pay p LEFT JOIN counts USING (doc_id)
+GROUP BY p.doc_id, p.n ORDER BY p.doc_id""",
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     "text_token_stats": """
@@ -811,6 +1042,7 @@ UNION ALL
 SELECT 'triangle' AS motif, (SELECT t FROM tri) AS n
 ORDER BY motif"""
     ),
+    "motif_planted_factors": SQL_PLANTED_FACTORS,
     "motif_k3_er_factors": (
         "WITH "
         + SQL_GRAPH
