@@ -594,7 +594,10 @@ def q_motif_planted_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri_canon = 238  # canonical_form of the k=3 undirected triangle
     occ = ext.occurrences(canon=tri_canon)
-    scored = score_motifs(edges, occ, directed=False)
+    # pin the scale-out plan: this row exists to oracle-gate the
+    # DISTRIBUTED instance-loop path (the local fast path is gated by
+    # test_mdl's local-vs-distributed equality instead)
+    scored = score_motifs(edges, occ, directed=False, strategy="distributed")
     return scored.select(
         F.lit("triangle").alias("motif"),
         F.col("k").cast("int").alias("k"),

@@ -47,16 +47,21 @@ def run_bench() -> dict:
     m_sym = sym.count()
 
     timings: dict[str, float] = {}
+    timings_single: dict[str, float] = {}
 
     def timed(name, fn, repeats: int = 1):
         """best-of-``repeats``: this VM shows up to 3x host-tenancy noise
         on single-shot wall times (see BENCH/BASELINE.md), so the kernel
-        headline numbers take the min of two runs."""
+        headline numbers take the min of two runs.  The FIRST run's time
+        is kept too (``queries_single_shot``) so round-over-round
+        comparisons can use either methodology."""
         best = None
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            if i == 0:
+                timings_single[name] = round(dt, 3)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         return out
@@ -74,6 +79,9 @@ def run_bench() -> dict:
 
     extra_queries = _extra_benches(spark)
     timings.update(extra_queries)
+    timings_single.update(extra_queries)  # extras run once: single == best
+
+    timed("motif_fast_experiment", lambda: _fast_experiment_bench(spark))
 
     canon_rate = _canon_throughput()
 
@@ -84,6 +92,7 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_single_shot": timings_single,
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "edges": m,
@@ -124,6 +133,27 @@ def _extra_benches(spark) -> dict[str, float]:
     except Exception:  # noqa: BLE001 — extras must never sink the bench
         pass
     return timings
+
+
+def _fast_experiment_bench(spark) -> dict:
+    """End-to-end `--type fast` on the planted tri-hub fixture — the
+    interactive-CLI latency the round-2 verdict flagged (~350s then;
+    the driver-local search path is the fix)."""
+    import tempfile
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (6, 7), (7, 8),
+        (8, 6), (9, 10), (10, 11), (11, 9), (12, 0), (12, 3), (12, 6),
+        (12, 9),
+    ]
+    from motive_spark.experiment import fast_experiment
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return fast_experiment(
+        edges, tempfile.mkdtemp(prefix="bench_fast_"), samples=400,
+        min_size=3, max_size=3, directed=False, search_depth=2,
+        name="bench_fixture",
+    )
 
 
 def _canon_throughput(n_samples: int = 200_000, k: int = 5) -> float:
@@ -236,6 +266,165 @@ def run_scale_level(cpus: int, strategy: str = SCALE_STRATEGY) -> dict:
     return out
 
 
+SCALE_KERNEL = os.environ.get("SPARK_GRAFT_SCALE_KERNEL", "pagerank")
+
+
+def run_scale_level_query(cpus: int, kernel: str, repeats: int = 3) -> dict:
+    """One parallelism level for a NON-iterative kernel (no supersteps to
+    take a median over, so the query is repeated ``repeats`` times inside
+    one JVM and median/min wall times are reported).  Inputs are
+    deterministic synthetic tables built from seeded hash expressions —
+    identical at every level."""
+    import statistics
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from motive_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_{kernel}_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=SCALE_P,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cpus}",
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.local.dir": f"/dev/shm/motive_spark_scaling_{kernel}_{cpus}",
+        },
+    )
+    if kernel == "triangles":
+        from motive_spark.kernels import triangle_count
+
+        n_v = int(os.environ.get("SPARK_GRAFT_TRI_N", str(500_000)))
+        n_e = int(os.environ.get("SPARK_GRAFT_TRI_M", str(5_000_000)))
+        e = (
+            spark.range(n_e, numPartitions=SCALE_P)
+            .select(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_v)).alias("src"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_v)).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .cache()
+        )
+        rows = e.count()
+
+        def job():
+            return triangle_count(e).collect()[0][0]
+    elif kernel == "minhash":
+        from motive_spark.datapipe.dedup import minhash_lsh_candidates
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_MH_DOCS", str(200_000)))
+        n_words = 60
+        # deterministic synthetic corpus: 60 hash-drawn word ids per doc
+        # from a 2000-word vocabulary, ~8% of docs are near-duplicates of
+        # doc (id - 1) (same prefix, one word changed)
+        base_words = F.transform(
+            F.sequence(F.lit(1), F.lit(n_words)),
+            lambda i: F.pmod(
+                F.xxhash64(F.floor(F.col("id") / 13) * 13, i), F.lit(2000)
+            ),
+        )
+        docs = (
+            spark.range(n_docs, numPartitions=SCALE_P)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(base_words, lambda w: w.cast("string")),
+                ).alias("text"),
+            )
+            .cache()
+        )
+        rows = docs.count()
+
+        def job():
+            return minhash_lsh_candidates(docs).count()
+    else:
+        raise ValueError(kernel)
+
+    times = []
+    for _ in range(repeats):
+        t0 = _time.time()
+        out = job()
+        times.append(_time.time() - t0)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "kernel": kernel,
+        "input_rows": rows,
+        "result": int(out),
+        "wall_sec_each": [round(t, 2) for t in times],
+        "wall_median_sec": round(statistics.median(times), 2),
+        "wall_min_sec": round(min(times), 2),
+    }
+
+
+def run_scaling_query(kernel: str) -> None:
+    """North-rule evidence for a second/third kernel family: the same
+    non-iterative job at pinned 4 vs 16 cores (see run_scaling's
+    methodology notes)."""
+    results = {}
+    for cpus, pincores in ((4, "0-3"), (16, "0-15")):
+        code = (
+            "import json, sys; sys.path.insert(0, %r); "
+            "import bench; print('RESULT ' + "
+            "json.dumps(bench.run_scale_level_query(%d, %r)))"
+            % (REPO, cpus, kernel)
+        )
+        out = subprocess.run(
+            ["taskset", "-c", pincores, sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling level {cpus} failed: {out.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1][len("RESULT "):])
+    assert results[4]["result"] == results[16]["result"], "nondeterministic job"
+    med4, med16 = results[4]["wall_median_sec"], results[16]["wall_median_sec"]
+    min4, min16 = results[4]["wall_min_sec"], results[16]["wall_min_sec"]
+    report = {
+        "kernel": kernel,
+        "method": "taskset-pinned local[4] vs local[16], identical "
+        f"deterministic synthetic input (P={SCALE_P}), median/min of 3 "
+        "in-JVM repeats (first repeat carries JIT warmup; this VM shows "
+        "bursty multi-tenant noise)",
+        "scaling_efficiency_median": round((med4 / med16) / 4.0, 3),
+        "scaling_efficiency_min": round((min4 / min16) / 4.0, 3),
+        "results": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", f"scaling_{kernel}.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    r4, r16 = results[4], results[16]
+    lines_md = [
+        "",
+        f"## Scaling run — {kernel} ({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"Input rows: {r16['input_rows']}; result value {r16['result']} "
+        "(equal at both levels).",
+        "",
+        "| cores (pinned) | median wall s | min wall s | per-run s |",
+        "|---|---|---|---|",
+        f"| 4 (N) | {r4['wall_median_sec']} | {r4['wall_min_sec']} | "
+        f"{r4['wall_sec_each']} |",
+        f"| 16 (4N) | {r16['wall_median_sec']} | {r16['wall_min_sec']} | "
+        f"{r16['wall_sec_each']} |",
+        "",
+        f"Scaling efficiency: median-based "
+        f"**{report['scaling_efficiency_median']}**, min-based "
+        f"{report['scaling_efficiency_min']} (machine pure-compute "
+        "ceiling 0.84 for this 4→16 comparison).",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write("\n".join(lines_md) + "\n")
+    print(json.dumps(report))
+
+
 def run_scaling() -> None:
     """North-rule evidence: the same PageRank job at N and 4N cores.
 
@@ -333,6 +522,9 @@ def _append_baseline_md(report: dict) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        run_scaling()
+        if SCALE_KERNEL == "pagerank":
+            run_scaling()
+        else:
+            run_scaling_query(SCALE_KERNEL)
     else:
         print(json.dumps(run_bench()))

@@ -48,6 +48,7 @@ def fast_experiment(
     beta_iterations: int = 50,
     max_rw: int = 500_000,
     simplify: bool = True,
+    strategy: str = "auto",
 ) -> dict:
     """Run the full pipeline; write sinks; return summary dict."""
     os.makedirs(output_dir, exist_ok=True)
@@ -58,7 +59,8 @@ def fast_experiment(
         min_freq=min_freq, seed=seed, directed=directed,
     )
     top = ex.top_motifs(max_motifs)
-    occ = ex.occurrences().join(top.select("canon"), on="canon")
+    # join on (canon, k): canonical masks collide across motif sizes
+    occ = ex.occurrences().join(top.select("canon", "k"), on=["canon", "k"])
     sample_time = time.time() - t0
 
     # one joint search: every requested model advances from SHARED
@@ -70,28 +72,31 @@ def fast_experiment(
     both = size_with_search(
         edges, occ, directed=directed, model=model, max_depth=search_depth,
         beta_iterations=beta_iterations, beta_depth=search_depth, seed=seed,
-        max_rw=max_rw, simplify=simplify,
+        max_rw=max_rw, simplify=simplify, strategy=strategy,
     ).cache()
     er = both.where(F.col("model") == "er").select(
         "canon",
+        "k",
         F.col("cutoff").alias("cutoff_er"),
         F.col("size").alias("size_er"),
         F.col("factor").alias("factor_er"),
     )
     el = both.where(F.col("model") == "el").select(
         "canon",
+        "k",
         F.col("size").alias("size_el"),
         F.col("factor").alias("factor_el"),
     )
-    scores = top.join(er, on="canon").join(el, on="canon")
+    scores = top.join(er, on=["canon", "k"]).join(el, on=["canon", "k"])
 
     if with_beta:
         beta = both.where(F.col("model") == "beta").select(
             "canon",
+            "k",
             F.col("size").alias("size_beta"),
             F.col("factor").alias("factor_beta"),
         )
-        scores = scores.join(beta, on="canon", how="left")
+        scores = scores.join(beta, on=["canon", "k"], how="left")
 
     sort_col = "factor_beta" if with_beta else "factor_el"
     pdf = scores.orderBy(F.desc(sort_col)).toPandas()
@@ -103,23 +108,54 @@ def fast_experiment(
 
     # S7: motif edge lists
     masks = {
-        int(r["canon"]): (int(r["k"]), int(r["mask"]))
+        (int(r["canon"]), int(r["k"])): int(r["mask"])
         for r in occ.groupBy("canon", "k").agg(F.first("mask").alias("mask")).collect()
     }
     with open(os.path.join(output_dir, "motifs.csv"), "w") as f:
         f.write("canon,k,edges\n")
         for i, rec in enumerate(pdf.itertuples(index=False)):
-            k, mask = masks[int(rec.canon)]
+            k = int(rec.k)
+            mask = masks[(int(rec.canon), k)]
             el_str = ";".join(f"{a} {b}" for a, b in mask_to_edges(mask, k, directed))
             f.write(f"{rec.canon},{k},{el_str}\n")
 
-    # S8: occurrence CSVs per motif rank
-    occ_pd = occ.select("canon", "vertices").toPandas()
+    # S8: occurrence CSVs per motif rank — lines are rendered and written
+    # executor-side, partitioned by (canon, k), then stitched into the
+    # reference's occurrences.NNN.csv layout with byte-level file concat:
+    # the 10^6-sample default never funnels through a driver DataFrame
+    import glob
+    import shutil
+
+    tmp_occ = os.path.join(output_dir, "_occ_parts")
+    (
+        occ.select(
+            "canon",
+            "k",
+            F.concat_ws(
+                ",", F.transform("vertices", lambda v: v.cast("string"))
+            ).alias("value"),
+        )
+        .repartition("canon", "k")
+        .write.partitionBy("canon", "k")
+        .mode("overwrite")
+        .text(tmp_occ)
+    )
     for i, rec in enumerate(pdf.itertuples(index=False)):
-        sel = occ_pd[occ_pd.canon == rec.canon]
-        with open(os.path.join(output_dir, f"occurrences.{i:03d}.csv"), "w") as f:
-            for vs in sel["vertices"]:
-                f.write(",".join(str(int(v)) for v in vs) + "\n")
+        parts = sorted(
+            glob.glob(
+                os.path.join(
+                    tmp_occ, f"canon={int(rec.canon)}", f"k={int(rec.k)}",
+                    "part-*",
+                )
+            )
+        )
+        with open(
+            os.path.join(output_dir, f"occurrences.{i:03d}.csv"), "wb"
+        ) as out_f:
+            for p in parts:
+                with open(p, "rb") as pf:
+                    shutil.copyfileobj(pf, out_f)
+    shutil.rmtree(tmp_occ, ignore_errors=True)
 
     # S10-style significance count (Konect.java:160-175, :430-433) —
     # computed BEFORE the metadata sink so the on-disk file carries it

@@ -154,6 +154,161 @@ def precompute_globals(
     }
 
 
+# graphs at or below this simple-edge count score driver-locally by
+# default: a Fibonacci-search round then costs numpy arithmetic instead
+# of a full distributed pass (3 cache materializations + ~8 jobs), which
+# is what made `--type fast` on a 40-vertex fixture cost minutes
+LOCAL_SCORE_THRESHOLD = 50_000
+
+
+def _ensure_local_graph(pc: dict) -> tuple:
+    """Collect the (small, <= threshold by contract) simple edge table and
+    per-vertex degrees ONCE into the precompute dict; reused by every
+    local scoring round of a search."""
+    if "_local" not in pc:
+        e_rows = [
+            (int(r["src"]), int(r["dst"]), int(r["mult"]))
+            for r in pc["e"].collect()
+        ]
+        deg_map = {
+            int(r["id"]): (int(r["in_deg"]), int(r["out_deg"]))
+            for r in pc["deg"].collect()
+        }
+        incident: dict[int, list[int]] = {}
+        for i, (s, d, _mu) in enumerate(e_rows):
+            incident.setdefault(s, []).append(i)
+            if d != s:
+                incident.setdefault(d, []).append(i)
+        pc["_local"] = (e_rows, deg_map, incident)
+    return pc["_local"]
+
+
+def score_groups_local(
+    groups: list[tuple[int, int, int, list[tuple[int, list[int]]]]],
+    pc: dict,
+    directed: bool,
+    reset_wiring: bool,
+    max_rw: int,
+    with_hists: bool,
+) -> list[dict]:
+    """Driver-local mirror of the distributed scoring prep: same
+    membership classification, rewiring, anchor/pair aggregation and
+    degree deltas, feeding the SAME `_assemble_motif` arithmetic — so
+    results are identical to the distributed path by construction (and
+    pinned so by test_mdl's local-vs-distributed equivalence).
+
+    ``groups``: [(canon, k, mask, [(occ_id, vertices), ...]), ...].
+    """
+    e_rows, deg_map, incident = _ensure_local_graph(pc)
+    consts = {
+        "n": pc["n"],
+        "m": pc["m"],
+        "hists": pc["hists"],
+        "joint": pc["joint"],
+        "base": pc["base"],
+        "directed": directed,
+        "reset_wiring": reset_wiring,
+        "with_hists": with_hists,
+        "max_rw": max_rw,
+    }
+    import numpy as np
+
+    rows = []
+    for canon, k, mask, occs in groups:
+        member: dict[int, tuple[int, int, int]] = {}
+        for occ_id, vertices in occs:
+            rep = int(vertices[0])
+            for pos, v in enumerate(vertices):
+                member[int(v)] = (int(occ_id), pos, rep)
+        touched_idx = sorted(
+            {i for v in member for i in incident.get(v, ())}
+        )
+        intra_cnt = 0
+        anchor_counts: dict[tuple[int, int], int] = {}
+        pair_mult: dict[tuple[int, int], int] = {}
+        ends: dict[int, dict] = {}
+        touched_cnt = 0
+        for i in touched_idx:
+            s, d, mu = e_rows[i]
+            ms, md = member.get(s), member.get(d)
+            if ms is not None and md is not None and ms[0] == md[0]:
+                intra_cnt += 1
+                continue
+            touched_cnt += 1
+            new_src = ms[2] if ms is not None else s
+            new_dst = md[2] if md is not None else d
+            if directed:
+                pair = (new_src, new_dst)
+            else:
+                pair = (min(new_src, new_dst), max(new_src, new_dst))
+            pair_mult[pair] = pair_mult.get(pair, 0) + mu
+            if ms is not None:
+                key = (ms[0], ms[1])
+                anchor_counts[key] = anchor_counts.get(key, 0) + mu
+            if md is not None:
+                key = (md[0], md[1])
+                anchor_counts[key] = anchor_counts.get(key, 0) + mu
+            for v, is_out in ((new_src, 1), (new_dst, 0)):
+                st = ends.setdefault(
+                    v, {"out_pairs": set(), "in_pairs": set(),
+                        "und_pairs": set(), "t_out": 0, "t_in": 0}
+                )
+                if is_out:
+                    st["out_pairs"].add(pair)
+                    st["t_out"] += 1
+                else:
+                    st["in_pairs"].add(pair)
+                    st["t_in"] += 1
+                st["und_pairs"].add(pair)
+        anchors = pd.DataFrame(
+            [(o, p, c) for (o, p), c in anchor_counts.items()],
+            columns=["occ_id", "pos", "cnt"],
+        )
+        adds_mult = np.array(sorted(pair_mult.values()), dtype=np.int64)
+        delta = pd.DataFrame(
+            [
+                {
+                    "is_member": int(v in member),
+                    "is_rep": int(v in member and member[v][2] == v),
+                    "old_in": deg_map.get(v, (0, 0))[0],
+                    "old_out": deg_map.get(v, (0, 0))[1],
+                    "new_in": len(st["in_pairs"]),
+                    "new_out": len(st["out_pairs"]),
+                    "new_und": len(st["und_pairs"]),
+                    "t_in": st["t_in"],
+                    "t_out": st["t_out"],
+                }
+                for v, st in ends.items()
+            ],
+            columns=[
+                "is_member", "is_rep", "old_in", "old_out", "new_in",
+                "new_out", "new_und", "t_in", "t_out",
+            ],
+        )
+        # inner-join semantics of the distributed memb ⋈ deg: members
+        # absent from the degree table contribute no removal row
+        member_old = pd.DataFrame(
+            [
+                {
+                    "old_in": deg_map[v][0],
+                    "old_out": deg_map[v][1],
+                    "is_rep": int(rep == v),
+                }
+                for v, (_o, _p, rep) in member.items()
+                if v in deg_map
+            ],
+            columns=["old_in", "old_out", "is_rep"],
+        )
+        rows.append(
+            _assemble_motif(
+                canon, k, len(occs), intra_cnt, touched_cnt,
+                len(pair_mult), mask, anchors, adds_mult, delta,
+                member_old, consts,
+            )
+        )
+    return rows
+
+
 def score_motifs(
     edges: DataFrame,
     occurrences: DataFrame,
@@ -163,7 +318,9 @@ def score_motifs(
     precomputed: dict | None = None,
     max_rw: int = 500_000,
     simplify: bool = True,
+    strategy: str = "auto",
     _with_hists: bool = False,
+    _labels_ok: bool = False,
 ) -> DataFrame:
     """Score every motif in ``occurrences`` (canon, k, occ_id, vertices —
     node-disjoint per canon, extractor output) against the ER and EL
@@ -172,16 +329,99 @@ def score_motifs(
     Returns (canon, k, n_occurrences, size_er, size_el, factor_er,
     factor_el) — factor = baseline - size, positive ⇒ the motif
     compresses the graph (numbers.csv semantics, Compare.java:358-363).
+
+    ``strategy``: "distributed" always runs the scale-out instance-loop
+    plan; "local" collects the (small) graph and scores driver-side;
+    "auto" picks local below ``LOCAL_SCORE_THRESHOLD`` simple edges —
+    both paths share `_assemble_motif`, and their equality is pinned by
+    test_mdl.
     """
     spark = edges.sparkSession
+    if "labels" in occurrences.columns and not _labels_ok:
+        import warnings
+
+        warnings.warn(
+            "occurrences carry vertex labels but score_motifs charges a "
+            "STRUCTURAL codelength only (the reference blanks labels "
+            "before scoring, Synthetic.java:105); use score_motifs_labeled "
+            "to include an entropy-code vertex-label term",
+            stacklevel=2,
+        )
     if group_col != "canon":
         occurrences = occurrences.drop("canon").withColumnRenamed(group_col, "canon")
+        canon_restore = None
+    else:
+        # canonical masks collide across k (mask 14 is both a k=3 and a
+        # k=4 class); the per-group machinery keys on canon ALONE, so
+        # remap (canon, k) to a dense unique gid and restore after
+        pairs = sorted(
+            (int(r["canon"]), int(r["k"]))
+            for r in occurrences.select("canon", "k").distinct().collect()
+        )
+        if len(pairs) == len({c for c, _k in pairs}):
+            canon_restore = None  # no collision — skip the remap joins
+        else:
+            gidx = {ck: i for i, ck in enumerate(pairs)}
+            map_df = spark.createDataFrame(
+                [(c, kk, i) for (c, kk), i in gidx.items()],
+                "canon long, k int, _gidx long",
+            )
+            occurrences = (
+                occurrences.join(F.broadcast(map_df), on=["canon", "k"])
+                .drop("canon")
+                .withColumnRenamed("_gidx", "canon")
+            )
+            canon_restore = {i: c for (c, _kk), i in gidx.items()}
 
     pc = (
         precomputed
         if precomputed is not None
         else precompute_globals(edges, directed, simplify)
     )
+    if strategy == "auto":
+        strategy = (
+            "local" if pc["m"] <= LOCAL_SCORE_THRESHOLD else "distributed"
+        )
+    if strategy == "local":
+        occ_rows = occurrences.select(
+            "canon", "k", "occ_id", "vertices", "mask"
+        ).collect()
+        grouped: dict[int, tuple[int, int, list]] = {}
+        for r in occ_rows:
+            g = grouped.setdefault(
+                int(r["canon"]), (int(r["k"]), int(r["mask"]), [])
+            )
+            g[2].append((int(r["occ_id"]), [int(v) for v in r["vertices"]]))
+        groups = [
+            (canon, k, mask, occs)
+            for canon, (k, mask, occs) in sorted(grouped.items())
+        ]
+        rows = score_groups_local(
+            groups, pc, directed, reset_wiring, max_rw, _with_hists
+        )
+        out_cols = [
+            "canon", "k", "n_occurrences", "size_er", "size_el",
+            "factor_er", "factor_el",
+        ]
+        out_schema = (
+            "canon long, k int, n_occurrences long, size_er double, "
+            "size_el double, factor_er double, factor_el double"
+        )
+        if _with_hists:
+            out_cols += ["common_bits", "m_sub_graph", "n_sub", "subbed_hist"]
+            out_schema += (
+                ", common_bits double, m_sub_graph long, n_sub long, "
+                "subbed_hist array<array<long>>"
+            )
+        if precomputed is None:
+            pc["e"].unpersist()
+            pc["deg"].unpersist()
+        if canon_restore is not None:
+            for r in rows:
+                r["canon"] = canon_restore[r["canon"]]
+        return spark.createDataFrame(
+            [tuple(r.get(c) for c in out_cols) for r in rows], out_schema
+        )
     e, deg = pc["e"], pc["deg"]
     n, m = pc["n"], pc["m"]
     hists, joint, base = pc["hists"], pc["joint"], pc["base"]
@@ -510,6 +750,18 @@ def score_motifs(
         return pd.DataFrame([{kk: row.get(kk) for kk in out_cols}])
 
     result = tall.groupBy("canon").applyInPandas(assemble, schema=out_schema)
+    if canon_restore is not None:
+        back_df = F.broadcast(
+            spark.createDataFrame(
+                sorted(canon_restore.items()), "_gidx long, _canon_orig long"
+            )
+        )
+        result = (
+            result.withColumnRenamed("canon", "_gidx")
+            .join(back_df, on="_gidx")
+            .withColumn("canon", F.col("_canon_orig"))
+            .select(*out_cols)
+        )
     result = result.localCheckpoint(eager=True)  # materialize before unpersists
     if precomputed is None:
         e.unpersist()
@@ -518,6 +770,78 @@ def score_motifs(
     touched.unpersist()
     rew.unpersist()
     return result
+
+
+def score_motifs_labeled(
+    edges: DataFrame,
+    occurrences: DataFrame,
+    vertex_labels: DataFrame,
+    directed: bool = True,
+    **kw,
+) -> DataFrame:
+    """Label-aware MDL scoring for label-sensitive extractions
+    (``MotifExtractor(vertex_labels=...)``) — closes the round-2 gap
+    where labeled occurrences silently scored structurally.
+
+    Documented label code (a local choice — the reference's own label
+    coding lives in its unvendored `nodes` models and motive blanks
+    labels before scoring, Synthetic.java:105):
+
+      * every vertex label costs -log2 p(l) under the graph's empirical
+        label distribution (ML code), so the baseline gains
+        L_base = sum_l c_l * -log2(c_l / n_lab);
+      * a labeled motif class stores its k-position label pattern ONCE
+        (pattern_bits = sum of its labels' codes); each of its n_occ
+        instances' member labels are then implied by the motif, so the
+        motif-coded side gains L_base - n_occ*pattern_bits + pattern_bits.
+
+    Net effect: factor_labeled = factor_structural
+    + (n_occ - 1) * pattern_bits — repeated label patterns compress,
+    label-diverse ones gain nothing, exactly the behavior label-blind
+    scoring could not express.  Output schema matches ``score_motifs``.
+    """
+    import math
+
+    spark = edges.sparkSession
+    lab_rows = (
+        vertex_labels.select(F.col("label").cast("string"))
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    n_lab = sum(int(r["count"]) for r in lab_rows)
+    bits = {
+        r["label"]: -math.log2(int(r["count"]) / n_lab) for r in lab_rows
+    }
+    l_base = sum(int(r["count"]) * bits[r["label"]] for r in lab_rows)
+
+    pat = occurrences.groupBy("canon", "k").agg(
+        F.first("labels").alias("labels")
+    )
+    pat_bits = {
+        (int(r["canon"]), int(r["k"])): sum(
+            bits.get(l, 0.0) for l in r["labels"]
+        )
+        for r in pat.collect()
+    }
+    structural = score_motifs(
+        edges, occurrences, directed=directed, _labels_ok=True, **kw
+    )
+    pat_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, kk, b) for (c, kk), b in sorted(pat_bits.items())],
+            "canon long, k int, _pat_bits double",
+        )
+    )
+    adj = (F.col("n_occurrences") - 1) * F.col("_pat_bits")
+    return (
+        structural.join(pat_df, on=["canon", "k"])
+        .withColumn("size_er", F.col("size_er") + F.lit(l_base) - adj)
+        .withColumn("size_el", F.col("size_el") + F.lit(l_base) - adj)
+        .withColumn("factor_er", F.col("factor_er") + adj)
+        .withColumn("factor_el", F.col("factor_el") + adj)
+        .drop("_pat_bits")
+    )
 
 
 def score_motifs_with_hists(

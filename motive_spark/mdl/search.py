@@ -95,6 +95,7 @@ def size_with_search(
     seed: int = 42,
     max_rw: int = 500_000,
     simplify: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-motif optimal (cutoff, size, factor) under ``model`` — "er",
     "el", "beta", or a tuple.  All requested models share every batched
@@ -113,10 +114,14 @@ def size_with_search(
     models = (model,) if isinstance(model, str) else tuple(model)
     with_beta = "beta" in models
 
-    w = Window.partitionBy("canon").orderBy("ex_degree", "occ_id")
+    # ranks and ALL search state key on (canon, k): canonical masks
+    # collide across motif sizes, so canon alone would merge classes
+    w = Window.partitionBy("canon", "k").orderBy("ex_degree", "occ_id")
     ranked = occurrences.withColumn("occ_rank", F.row_number().over(w)).cache()
     motif_info = {
-        int(r["canon"]): (int(r["k"]), int(r["mask"]), int(r["n_occ"]))
+        (int(r["canon"]), int(r["k"])): (
+            int(r["k"]), int(r["mask"]), int(r["n_occ"])
+        )
         for r in ranked.groupBy("canon", "k")
         .agg(F.first("mask").alias("mask"), F.count(F.lit(1)).alias("n_occ"))
         .collect()
@@ -131,7 +136,7 @@ def size_with_search(
     hists = pc["hists"]
     baselines = dict(pc["base"])
 
-    sub_beta: dict[int, float] = {}
+    sub_beta: dict[tuple[int, int], float] = {}
     if with_beta:
         from motive_spark.mdl.beta import graph_beta_codelength, motif_beta_hist
 
@@ -140,8 +145,8 @@ def size_with_search(
         baselines["beta"] = graph_beta_codelength(
             spark, pc["joint"], directed, beta_iterations, beta_alpha, seed
         )
-        for canon, (k, mask, _n_occ) in sorted(motif_info.items()):
-            sub_beta[canon] = graph_beta_codelength(
+        for ck, (k, mask, _n_occ) in sorted(motif_info.items()):
+            sub_beta[ck] = graph_beta_codelength(
                 None, motif_beta_hist(mask, k, directed), directed,
                 beta_iterations, beta_alpha, seed,
             )
@@ -152,27 +157,30 @@ def size_with_search(
     # with large cutoffs); the dense index is bounded by the motif count
     # and cutoffs are Fibonacci numbers <= ~1.6*n_occ << 2^40.
     _GID_BASE = 1 << 40
-    canon_list = sorted(motif_info)
-    canon_idx = {c: i for i, c in enumerate(canon_list)}
+    canon_list = sorted(motif_info)  # (canon, k) pairs
+    canon_idx = {ck: i for i, ck in enumerate(canon_list)}
 
-    # per-model caches and search states, advanced from SHARED eval rounds
-    cache: dict[str, dict[tuple[int, int], float]] = {mo: {} for mo in models}
-    states: dict[str, dict[int, _State]] = {mo: {} for mo in models}
+    # per-model caches and search states, keyed by ((canon, k), cutoff)
+    # and advanced from SHARED eval rounds
+    cache: dict[str, dict[tuple[tuple[int, int], int], float]] = {
+        mo: {} for mo in models
+    }
+    states: dict[str, dict[tuple[int, int], _State]] = {mo: {} for mo in models}
     _zero_extra = float(codes.prefix_bits(0) + codes.log2_choose(0, n)) + float(
         codes.prefix_bits(0)
     )  # labels + multi terms of an empty occurrence list
-    for canon, (k, mask, n_occ) in motif_info.items():
+    for ck, (k, mask, n_occ) in motif_info.items():
         hi = n_occ if n_occ in _FIBS else _next_fib(n_occ)
         for mo in models:
             if mo == "beta":
-                cache[mo][(canon, 0)] = (
-                    sub_beta[canon] + baselines["beta"] + _zero_extra
+                cache[mo][(ck, 0)] = (
+                    sub_beta[ck] + baselines["beta"] + _zero_extra
                 )
             else:
-                cache[mo][(canon, 0)] = _zero_occurrence_size(
+                cache[mo][(ck, 0)] = _zero_occurrence_size(
                     n, m, hists, mask, k, directed, mo
                 )
-            states[mo][canon] = _State(0, hi)
+            states[mo][ck] = _State(0, hi)
 
     def want_cutoffs(st: _State) -> list[int]:
         rng = st.hi - st.lo
@@ -186,65 +194,107 @@ def size_with_search(
             return beta_depth
         return max_depth
 
+    # local evaluation mode: below the threshold, rank order + occurrence
+    # lists are collected ONCE and every search round costs pure numpy
+    # (no Spark jobs at all) — the per-round fixed overhead (3 cache
+    # materializations + ~8 jobs per score_motifs pass) was what made a
+    # 40-vertex `--type fast` run take minutes
+    from motive_spark.mdl.score import (
+        LOCAL_SCORE_THRESHOLD,
+        score_groups_local,
+    )
+
+    if strategy == "auto":
+        strategy = "local" if m <= LOCAL_SCORE_THRESHOLD else "distributed"
+    local_occ: dict[tuple[int, int], list[tuple[int, list[int]]]] = {}
+    if strategy == "local":
+        for r in ranked.select(
+            "canon", "k", "occ_id", "vertices", "occ_rank"
+        ).collect():
+            local_occ.setdefault((int(r["canon"]), int(r["k"])), []).append(
+                (int(r["occ_rank"]), int(r["occ_id"]),
+                 [int(v) for v in r["vertices"]])
+            )
+        for lst in local_occ.values():
+            lst.sort()
+
     while True:
-        pending: set[tuple[int, int]] = set()
+        pending: set[tuple[tuple[int, int], int]] = set()
         # beta sizes are only computed for the pairs BETA's own descent
         # requested — er/el descend deeper (no beta_depth cap) and their
         # extra cutoffs must not trigger MC sampling passes
-        beta_pending: set[tuple[int, int]] = set()
+        beta_pending: set[tuple[tuple[int, int], int]] = set()
         for mo in models:
             cap = _depth_cap(mo)
-            for canon, st in states[mo].items():
+            for ck, st in states[mo].items():
                 if st.done:
                     continue
                 if cap >= 0 and st.depth > cap:
                     st.done = True
                     continue
                 for c in want_cutoffs(st):
-                    c_eff = min(c, motif_info[canon][2])
-                    if (canon, c_eff) not in cache[mo] and c_eff > 0:
-                        pending.add((canon, c_eff))
+                    c_eff = min(c, motif_info[ck][2])
+                    if (ck, c_eff) not in cache[mo] and c_eff > 0:
+                        pending.add((ck, c_eff))
                         if mo == "beta":
-                            beta_pending.add((canon, c_eff))
+                            beta_pending.add((ck, c_eff))
         if pending:
             assert all(c < _GID_BASE for _, c in pending)
-            pend_df = spark.createDataFrame(
-                [(cn, ct, canon_idx[cn] * _GID_BASE + ct) for cn, ct in sorted(pending)],
-                "canon long, cutoff long, gid long",
-            )
-            subset = ranked.join(pend_df, on="canon").where(
-                F.col("occ_rank") <= F.col("cutoff")
-            )
-            res = score_motifs(
-                e,
-                subset.select(
-                    "gid", "k", "occ_id", "vertices", "mask", "ex_degree"
-                ),
-                directed=directed,
-                reset_wiring=reset_wiring,
-                group_col="gid",
-                precomputed=pc,
-                max_rw=max_rw,
-                _with_hists=with_beta,
-            ).collect()
-            beta_rows: list[tuple[int, int, dict]] = []
+            if strategy == "local":
+                groups = [
+                    (
+                        canon_idx[ck] * _GID_BASE + ct,
+                        motif_info[ck][0],
+                        motif_info[ck][1],
+                        [(oid, vs) for rk, oid, vs in local_occ[ck][:ct]],
+                    )
+                    for ck, ct in sorted(pending)
+                ]
+                res = score_groups_local(
+                    groups, pc, directed, reset_wiring, max_rw, with_beta
+                )
+            else:
+                pend_df = spark.createDataFrame(
+                    [
+                        (cn, kk, ct, canon_idx[(cn, kk)] * _GID_BASE + ct)
+                        for (cn, kk), ct in sorted(pending)
+                    ],
+                    "canon long, k int, cutoff long, gid long",
+                )
+                subset = ranked.join(pend_df, on=["canon", "k"]).where(
+                    F.col("occ_rank") <= F.col("cutoff")
+                )
+                res = score_motifs(
+                    e,
+                    subset.select(
+                        "gid", "k", "occ_id", "vertices", "mask", "ex_degree"
+                    ),
+                    directed=directed,
+                    reset_wiring=reset_wiring,
+                    group_col="gid",
+                    precomputed=pc,
+                    max_rw=max_rw,
+                    strategy="distributed",
+                    _with_hists=with_beta,
+                ).collect()
+            beta_rows: list[tuple[tuple[int, int], int, dict]] = []
             for r in res:
                 idx, cutoff = divmod(int(r["canon"]), _GID_BASE)
-                canon = canon_list[idx]
+                ck = canon_list[idx]
                 for mo in models:
                     if mo == "beta":
-                        if (canon, cutoff) in beta_pending:
-                            beta_rows.append((canon, cutoff, r))
+                        if (ck, cutoff) in beta_pending:
+                            beta_rows.append((ck, cutoff, r))
                     else:
-                        cache[mo][(canon, cutoff)] = float(r[f"size_{mo}"])
+                        cache[mo][(ck, cutoff)] = float(r[f"size_{mo}"])
             if beta_rows:
                 # ONE MC fan-out job for the whole round's beta points
                 from motive_spark.mdl.beta import graph_beta_codelength_batch
 
                 hists, keyed = [], []
-                for canon, cutoff, r in beta_rows:
+                for ck, cutoff, r in beta_rows:
                     if r["subbed_hist"] is None:  # max_rw-guarded
-                        cache["beta"][(canon, cutoff)] = float("inf")
+                        cache["beta"][(ck, cutoff)] = float("inf")
                         continue
                     if directed:
                         hists.append(
@@ -254,16 +304,16 @@ def size_with_search(
                         hists.append(
                             {int(d): int(c) for d, c in r["subbed_hist"]}
                         )
-                    keyed.append((canon, cutoff, float(r["common_bits"])))
+                    keyed.append((ck, cutoff, float(r["common_bits"])))
                 vals = graph_beta_codelength_batch(
                     spark, hists, directed, beta_iterations, beta_alpha, seed
                 )
-                for (canon, cutoff, common), v in zip(keyed, vals):
-                    cache["beta"][(canon, cutoff)] = sub_beta[canon] + v + common
+                for (ck, cutoff, common), v in zip(keyed, vals):
+                    cache["beta"][(ck, cutoff)] = sub_beta[ck] + v + common
 
         all_done = True
         for mo in models:
-            for canon, st in states[mo].items():
+            for ck, st in states[mo].items():
                 if st.done:
                     continue
                 rng = st.hi - st.lo
@@ -272,9 +322,9 @@ def size_with_search(
                     continue
                 r0 = _prev_fib(rng)
                 mid1, mid2 = st.hi - r0, st.lo + r0
-                n_occ = motif_info[canon][2]
-                y1 = cache[mo][(canon, min(mid1, n_occ))]
-                y2 = cache[mo][(canon, min(mid2, n_occ))]
+                n_occ = motif_info[ck][2]
+                y1 = cache[mo][(ck, min(mid1, n_occ))]
+                y2 = cache[mo][(ck, min(mid2, n_occ))]
                 if y1 > y2:
                     st.lo = mid1
                 else:
@@ -286,11 +336,11 @@ def size_with_search(
 
     rows = []
     for mo in models:
-        for canon, (k, mask, n_occ) in motif_info.items():
-            sizes = {c: v for (cn, c), v in cache[mo].items() if cn == canon}
+        for ck, (k, mask, n_occ) in motif_info.items():
+            sizes = {c: v for (cc, c), v in cache[mo].items() if cc == ck}
             best_c = min(sizes, key=lambda c: (sizes[c], c))
             rows.append(
-                (canon, k, mo, best_c, sizes[best_c], baselines[mo] - sizes[best_c])
+                (ck[0], k, mo, best_c, sizes[best_c], baselines[mo] - sizes[best_c])
             )
     ranked.unpersist()
     pc["e"].unpersist()

@@ -150,10 +150,15 @@ class MotifExtractor:
         if self.labeled:
             sel_cols += ["canon_key", "labels"]
             sel_schema += ", canon_key string, labels array<string>"
+        # group on (canon, k): canonical masks COLLIDE across motif sizes
+        # (e.g. mask 14 names both a k=3 and a k=4 class), so canon alone
+        # would pool different-size motifs into one disjointness group
         selected = (
-            self._sampled.join(self._motifs.select("canon"), on="canon")
+            self._sampled.join(
+                self._motifs.select("canon", "k"), on=["canon", "k"]
+            )
             .select(*sel_cols)
-            .groupBy("canon")
+            .groupBy("canon", "k")
             .applyInPandas(_remove_overlaps, schema=sel_schema)
         )
         self._occurrences = selected.cache()

@@ -86,6 +86,23 @@ def test_fast_experiment_sinks(spark, tmp_path):
     assert {"canon", "k", "frequency", "factor_er", "factor_el"} <= set(numbers.columns)
     # sorted by factor_el desc (CompareLarge co-sort)
     assert list(numbers["factor_el"]) == sorted(numbers["factor_el"], reverse=True)
+    # occurrence sink contents: the rank-0 motif's file carries exactly its
+    # selected occurrences (partitioned executor-side write, stitched)
+    top_canon, top_k = int(numbers["canon"][0]), int(numbers["k"][0])
+    with open(os.path.join(out, "occurrences.000.csv")) as f:
+        got_lines = sorted(l.strip() for l in f if l.strip())
+    from motive_spark.motifs import MotifExtractor
+
+    ex = MotifExtractor(
+        edges, samples=400, min_size=3, max_size=3, min_freq=2,
+        seed=42, directed=False,
+    )
+    want = sorted(
+        ",".join(str(int(v)) for v in r["vertices"])
+        for r in ex.occurrences().collect()
+        if int(r["canon"]) == top_canon and int(r["k"]) == top_k
+    )
+    assert got_lines == want and len(want) >= 2
 
 
 def test_checkpoint_resume_exact(spark, tmp_path):

@@ -61,7 +61,9 @@ def _score_via_spark(spark, pairs, occurrences, motif_edges, k, directed):
     occ_df = spark.createDataFrame(
         occ_rows, "canon long, k int, occ_id long, vertices array<long>, mask long"
     )
-    out = score_motifs(edges, occ_df, directed=directed).collect()
+    out = score_motifs(
+        edges, occ_df, directed=directed, strategy="distributed"
+    ).collect()
     assert len(out) == 1
     return out[0]
 
@@ -191,13 +193,16 @@ def test_fast_vs_slow_multigraph(spark, directed):
         "canon long, k int, occ_id long, vertices array<long>, mask long",
     )
     got = score_motifs(
-        edges_df_m, occ_df, directed=directed, simplify=False
+        edges_df_m, occ_df, directed=directed, simplify=False,
+        strategy="distributed",
     ).collect()[0]
     want = naive_score(pairs, occs, motif_edges, 3, directed, mult=mult)
     assert math.isclose(got.size_er, want["size_er"], abs_tol=1e-6)
     assert math.isclose(got.size_el, want["size_el"], abs_tol=1e-6)
     # and the simplified path must NOT equal it (the duplicates matter)
-    got_simple = score_motifs(edges_df_m, occ_df, directed=directed).collect()[0]
+    got_simple = score_motifs(
+        edges_df_m, occ_df, directed=directed, strategy="distributed"
+    ).collect()[0]
     if any(m > 1 for m in mult.values()):
         assert abs(got_simple.size_er - got.size_er) > 1e-9
 
@@ -333,3 +338,141 @@ def test_fibonacci_search_finds_no_worse_cutoff(spark):
         edges_to_mask([(a, b) for a in range(4) for b in range(a + 1, 4)], 4, False), 4
     )
     assert best.canon == clique4 and best.factor > 0
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_local_scoring_matches_distributed(spark, directed):
+    """The driver-local fast path and the scale-out instance-loop plan
+    share `_assemble_motif`; this pins that their relational preps agree
+    too — including on mixed-k extractions where canonical masks collide
+    across sizes."""
+    from motive_spark.mdl.score import score_motifs
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = random_pairs(60, 300, seed=4, directed=directed)
+    edges = edges_df(spark, pairs)
+    ex = MotifExtractor(
+        edges, samples=600, min_size=3, max_size=4, min_freq=1,
+        seed=3, directed=directed,
+    )
+    occ = ex.occurrences()
+    dist = {
+        (int(r["canon"]), int(r["k"])): r
+        for r in score_motifs(
+            edges, occ, directed=directed, strategy="distributed",
+            _with_hists=True,
+        ).collect()
+    }
+    loc = {
+        (int(r["canon"]), int(r["k"])): r
+        for r in score_motifs(
+            edges, occ, directed=directed, strategy="local", _with_hists=True
+        ).collect()
+    }
+    assert set(dist) == set(loc) and len(dist) > 5
+    if directed:
+        # regression: at least one canonical mask collides across k in
+        # the directed fixture (the bug this guards: k=3/k=4 pooled)
+        canons = [c for c, _k in dist]
+        assert len(canons) > len(set(canons)), "fixture no longer collides"
+    for key, d in dist.items():
+        lo = loc[key]
+        for fld in [
+            "n_occurrences", "size_er", "size_el", "factor_er",
+            "factor_el", "common_bits", "m_sub_graph", "n_sub",
+        ]:
+            assert d[fld] == lo[fld] or abs(d[fld] - lo[fld]) < 1e-9, (
+                key, fld, d[fld], lo[fld])
+        assert sorted(map(tuple, d["subbed_hist"] or [])) == sorted(
+            map(tuple, lo["subbed_hist"] or [])
+        ), key
+
+
+def test_extractor_selection_disjoint_per_canon_and_k(spark):
+    """Node-disjointness is enforced per (canon, k) — colliding masks of
+    different sizes must not share one disjointness pool."""
+    from motive_spark.motifs import MotifExtractor
+
+    pairs = random_pairs(60, 300, seed=4, directed=True)
+    edges = edges_df(spark, pairs)
+    ex = MotifExtractor(
+        edges, samples=600, min_size=3, max_size=4, min_freq=1,
+        seed=3, directed=True,
+    )
+    rows = ex.occurrences().collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault((int(r["canon"]), int(r["k"])), []).append(
+            [int(v) for v in r["vertices"]]
+        )
+    assert any(
+        len({c for c, _k in by_class}) < len(by_class) for _ in [0]
+    )  # collision present in fixture
+    for key, occs in by_class.items():
+        seen = set()
+        for vs in occs:
+            assert len(vs) == key[1]
+            for v in vs:
+                assert v not in seen, (key, v)
+                seen.add(v)
+
+
+def test_labeled_scoring_term_and_warning(spark):
+    """score_motifs warns on silently-structural scoring of labeled
+    occurrences; score_motifs_labeled charges the documented entropy
+    label term: factor_labeled = factor_structural
+    + (n_occ - 1) * pattern_bits."""
+    import math
+    import warnings
+
+    from motive_spark.mdl.score import score_motifs, score_motifs_labeled
+    from motive_spark.motifs import MotifExtractor
+
+    pairs, labels = [], []
+    for i in range(8):
+        vs = [3 * i, 3 * i + 1, 3 * i + 2]
+        pairs += [(vs[0], vs[1]), (vs[1], vs[2]), (vs[0], vs[2])]
+        pat = ["red", "red", "blue"] if i % 2 == 0 else ["green"] * 3
+        labels += list(zip(vs, pat))
+    for i in range(8):
+        pairs.append((3 * i, 3 * ((i + 1) % 8)))
+    e = spark.createDataFrame(sorted(set(pairs)), "src long, dst long")
+    lab = spark.createDataFrame(labels, "id long, label string")
+    ex = MotifExtractor(e, samples=500, min_size=3, max_size=3,
+                        min_freq=1, directed=False, vertex_labels=lab)
+    occ = ex.occurrences()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        structural = {
+            (int(r["canon"]), int(r["k"])): r
+            for r in score_motifs(e, occ, directed=False).collect()
+        }
+        assert any("STRUCTURAL" in str(w.message) for w in caught)
+
+    labeled = {
+        (int(r["canon"]), int(r["k"])): r
+        for r in score_motifs_labeled(e, occ, lab, directed=False).collect()
+    }
+    assert set(labeled) == set(structural)
+    # label distribution: red 8, blue 4, green 12 over 24 vertices
+    bits = {"red": -math.log2(8 / 24), "blue": -math.log2(4 / 24),
+            "green": -math.log2(12 / 24)}
+    pat_by_class = {
+        (int(r["canon"]), int(r["k"])): list(r["labels"])
+        for r in occ.groupBy("canon", "k").agg(
+            __import__("pyspark.sql.functions", fromlist=["first"]).first(
+                "labels"
+            ).alias("labels")
+        ).collect()
+    }
+    checked = 0
+    for key, s in structural.items():
+        lo = labeled[key]
+        pat = sum(bits.get(l, 0.0) for l in pat_by_class[key])
+        want = s["factor_el"] + (s["n_occurrences"] - 1) * pat
+        assert abs(lo["factor_el"] - want) < 1e-9, (key, lo["factor_el"], want)
+        if s["n_occurrences"] >= 2 and pat > 0:
+            assert lo["factor_el"] > s["factor_el"]
+            checked += 1
+    assert checked >= 1

@@ -106,3 +106,65 @@ def test_running_degrees_state_across_batches(spark, tmp_path):
     for r in rows:
         latest[r["id"]] = max(latest.get(r["id"], 0), r["out_deg"])
     assert latest == {1: 3, 2: 1, 3: 1}
+
+
+def test_streamed_append_warm_starts_pagerank(spark, tmp_path):
+    """Streaming → batch integration (VERDICT r2 #10): edges appended via
+    the streaming ingest warm-start PageRank from the previous converged
+    state — far fewer supersteps than a cold start, same fixed point."""
+    import random
+
+    from motive_spark.kernels import pagerank
+    from motive_spark.streaming import stream_edges
+
+    src_dir = str(tmp_path / "in")
+    table_dir = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    rng = random.Random(11)
+    base_edges = sorted(
+        {(rng.randrange(200), rng.randrange(200)) for _ in range(900)}
+    )
+    base_edges = [(a, b) for a, b in base_edges if a != b]
+    delta_edges = [(200, i) for i in range(5)] + [(i, 200) for i in range(3)]
+
+    def drain_to_table(name, rows):
+        _write_batch(
+            src_dir, name, [(a, b, "2026-01-01T00:00:00") for a, b in rows]
+        )
+        q = (
+            stream_edges(spark, src_dir)
+            .select("src", "dst")
+            .writeStream.format("parquet")
+            .option("path", table_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    drain_to_table("b0", base_edges)
+    t1 = spark.read.parquet(table_dir)
+    assert t1.count() == len(base_edges)  # exactly-once
+    c_cold1: list = []
+    prev = pagerank(t1, tol=1e-9, max_iter=60, counters_out=c_cold1)
+    prev = prev.localCheckpoint(eager=True)
+
+    drain_to_table("b1", delta_edges)
+    t2 = spark.read.parquet(table_dir)
+    assert t2.count() == len(base_edges) + len(delta_edges)
+
+    c_cold: list = []
+    cold = pagerank(t2, tol=1e-9, max_iter=60, counters_out=c_cold)
+    c_warm: list = []
+    warm = pagerank(
+        t2, tol=1e-9, max_iter=60, counters_out=c_warm, init_ranks=prev
+    )
+    assert len(c_warm) < len(c_cold), (len(c_warm), len(c_cold))
+    a = {r.id: r.rank for r in cold.collect()}
+    b = {r.id: r.rank for r in warm.collect()}
+    assert set(a) == set(b)
+    for vid in a:
+        assert abs(a[vid] - b[vid]) < 1e-6, (vid, a[vid], b[vid])
