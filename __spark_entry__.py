@@ -104,6 +104,90 @@ l{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _ppr_sql(n_seeds: int = 5) -> str:
+    """Unrolled personalized PageRank over the DIRECTED src<dst
+    co-purchase orientation, restart mass on the n_seeds smallest ids —
+    byte-for-byte the update rule of kernels.personalized_pagerank."""
+    d = PR_DAMPING
+    parts = [
+        "WITH " + SQL_GRAPH + ",",
+        "outdeg AS (SELECT src AS id, COUNT(*) AS od FROM und GROUP BY src),",
+        f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),",
+        "base AS MATERIALIZED (SELECT v.id, COALESCE(o.od, 0) AS od, "
+        f"CASE WHEN v.id IN (SELECT id FROM seeds) THEN 1.0::DOUBLE / {n_seeds} "
+        "ELSE 0.0::DOUBLE END AS s "
+        "FROM verts v LEFT JOIN outdeg o USING (id)),",
+        "p0 AS MATERIALIZED (SELECT id, od, s, s AS rank FROM base)",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"p{i - 1}"
+        parts.append(
+            f""",pc{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / r.od) AS recv
+  FROM und e JOIN {p} r ON e.src = r.id AND r.od > 0
+  GROUP BY e.dst
+),
+p{i} AS MATERIALIZED (
+  SELECT b.id, b.od, b.s,
+         (1.0::DOUBLE - {d}) * b.s
+         + {d} * COALESCE(c.recv, 0.0::DOUBLE)
+         + {d} * (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) FROM {p} WHERE od = 0)
+               * b.s AS rank
+  FROM base b LEFT JOIN pc{i} c USING (id)
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(rank, 6) AS rank FROM p{PR_ITERS} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled L1-normalized HITS over the directed src<dst orientation
+    — the same superstep as kernels.hits."""
+    parts = [
+        "WITH " + SQL_GRAPH + ",",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "s0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS hub, "
+        "1.0 / (SELECT n FROM nn) AS auth FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f""",ra{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(x.r, 0.0::DOUBLE) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.hub) AS r
+    FROM und e JOIN {p} h ON e.src = h.id GROUP BY e.dst
+  ) x USING (id)
+),
+a{i} AS MATERIALIZED (
+  SELECT id, raw / (SELECT CASE WHEN SUM(raw) = 0 THEN 1.0 ELSE SUM(raw) END
+                    FROM ra{i}) AS auth
+  FROM ra{i}
+),
+rh{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(x.r, 0.0::DOUBLE) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.auth) AS r
+    FROM und e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+  ) x USING (id)
+),
+s{i} AS MATERIALIZED (
+  SELECT h.id,
+         h.raw / (SELECT CASE WHEN SUM(raw) = 0 THEN 1.0 ELSE SUM(raw) END
+                  FROM rh{i}) AS hub,
+         a.auth
+  FROM rh{i} h JOIN a{i} a USING (id)
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth "
+        f"FROM s{iters} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 SQL_COMPONENTS = (
     "WITH RECURSIVE "
     + SQL_GRAPH
@@ -212,6 +296,38 @@ def q_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
 
 
+PPR_SEEDS = 5
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph treated as a
+    DIRECTED src->dst table (canonical src<dst orientation), restart
+    mass on the 5 smallest vertex ids."""
+    from motive_spark.graph import vertices
+    from motive_spark.kernels import personalized_pagerank
+
+    und = _und(spark, sf_dir)
+    seeds = [
+        int(r["id"])
+        for r in vertices(und).orderBy("id").limit(PPR_SEEDS).collect()
+    ]
+    pr = personalized_pagerank(
+        und, seeds, damping=PR_DAMPING, max_iter=PR_ITERS, tol=None
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (L1-normalized, 8 supersteps) over the
+    directed src<dst co-purchase orientation."""
+    from motive_spark.kernels import hits
+
+    h = hits(_und(spark, sf_dir), max_iter=8)
+    return h.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("id")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -269,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_multiplicity": q_edge_multiplicity,
         "pagerank": q_pagerank,
         "pagerank_csr": q_pagerank_csr,
+        "personalized_pagerank": q_personalized_pagerank,
+        "hits": q_hits,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -308,6 +426,8 @@ SELECT src, dst, COUNT(*) AS mult FROM pairs
 GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank": _pagerank_sql(),
         "pagerank_csr": _pagerank_sql(),
+        "personalized_pagerank": _ppr_sql(PPR_SEEDS),
+        "hits": _hits_sql(),
         "connected_components": SQL_COMPONENTS,
         "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),

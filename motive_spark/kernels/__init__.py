@@ -1,10 +1,13 @@
 from motive_spark.kernels.components import connected_components
+from motive_spark.kernels.hits import hits
 from motive_spark.kernels.labelprop import label_propagation
-from motive_spark.kernels.pagerank import pagerank
+from motive_spark.kernels.pagerank import pagerank, personalized_pagerank
 from motive_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
+    "hits",
     "connected_components",
     "label_propagation",
     "triangle_count",

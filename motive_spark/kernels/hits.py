@@ -1,0 +1,88 @@
+"""HITS (hubs & authorities) — repeated sparse gather-scatter joins.
+
+Beyond-reference link-graph kernel (the reference's scope ends at
+PageRank-style scoring; HITS is the classic companion eigenvector pair).
+Update rule per superstep, L1-normalized (documented local choice — any
+per-iteration normalization yields the same ranking; L1 keeps the
+cross-engine oracle arithmetic exact):
+
+    auth'(v) = sum_{u->v} hub(u)      then auth /= sum(auth)
+    hub'(u)  = sum_{u->v} auth'(v)    then hub  /= sum(hub)
+
+Physical shape mirrors the small-|V| PageRank strategy: the edge table
+is cached and stationary, the (small) score vector is broadcast into
+the join, and lineage is truncated every superstep (localCheckpoint) —
+the measured requirement for iterative plans on this engine.  At large
+|V| the same loop runs co-partitioned (shuffle-hash on the edge key),
+chosen by the caller via ``strategy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 8,
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Returns (id, hub, auth) after ``max_iter`` L1-normalized
+    supersteps over the DIRECTED edge table (src -> dst)."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst").dropDuplicates().repartition(npart, "src").cache()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, hub double, auth double")
+
+    state = verts.select(
+        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    )
+
+    def _side(score_df):
+        return F.broadcast(score_df) if strategy == "broadcast" else (
+            score_df.hint("shuffle_hash")
+        )
+
+    for _ in range(max_iter):
+        hubs = state.select("id", "hub")
+        recv_a = (
+            e.join(_side(hubs), on=[hubs.id == e.src])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("raw_auth"))
+        )
+        auth = verts.join(recv_a, on="id", how="left").select(
+            "id", F.coalesce("raw_auth", F.lit(0.0)).alias("raw_auth")
+        )
+        tot_a = auth.agg(F.sum("raw_auth")).collect()[0][0] or 1.0
+        auth = auth.select("id", (F.col("raw_auth") / F.lit(float(tot_a))).alias("auth"))
+
+        recv_h = (
+            e.join(_side(auth), on=[auth.id == e.dst])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("raw_hub"))
+        )
+        hub = verts.join(recv_h, on="id", how="left").select(
+            "id", F.coalesce("raw_hub", F.lit(0.0)).alias("raw_hub")
+        )
+        tot_h = hub.agg(F.sum("raw_hub")).collect()[0][0] or 1.0
+        hub = hub.select("id", (F.col("raw_hub") / F.lit(float(tot_h))).alias("hub"))
+
+        state = (
+            hub.join(auth, on="id")
+            .select("id", "hub", "auth")
+            .localCheckpoint(eager=True)  # truncate lineage every superstep
+        )
+
+    e.unpersist()
+    verts.unpersist()
+    return state

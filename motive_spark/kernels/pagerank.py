@@ -243,3 +243,89 @@ def pagerank(
     if counters_out is not None:
         counters_out.extend(ckpt.counters)
     return ranks.select("id", "rank")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float | None = None,
+) -> DataFrame:
+    """Personalized PageRank: restart mass (and dangling mass) teleports
+    uniformly to ``seeds`` instead of all vertices —
+
+        rank'(v) = (1-d)*s(v) + d*sum_{u->v} rank(u)/outdeg(u)
+                   + d*dangling*s(v),   s(v) = 1/|seeds| on seeds else 0.
+
+    Same physical shape as the broadcast PageRank strategy: stationary
+    cached edge table, broadcast rank vector, per-superstep lineage
+    truncation.  Returns (id, rank) summing to 1."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select("src", "dst").repartition(npart, "src").cache()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(seeds))], "id long"
+    ).withColumn("s", F.lit(1.0 / len(set(seeds))))
+    base = (
+        verts.join(outdeg, on="id", how="left")
+        .join(F.broadcast(seed_df), on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("s", F.lit(0.0)).alias("s"),
+        )
+        .cache()
+    )
+    n = base.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+
+    ranks = base.select("id", F.col("s").alias("rank"))
+    for _ in range(max_iter):
+        with_deg = ranks.join(base.select("id", "out_deg"), on="id")
+        sender = F.broadcast(with_deg.where(F.col("out_deg") > 0))
+        contribs = (
+            sender.join(e, on=[with_deg.id == e.src])
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
+        )
+        dang = with_deg.where(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+        )
+        new_ranks = (
+            base.join(contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("s")
+                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                    + F.lit(damping) * F.col("dang") * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    e.unpersist()
+    base.unpersist()
+    return ranks.select("id", "rank")

@@ -206,3 +206,72 @@ def test_auto_strategy_selects_csr_above_threshold(spark, monkeypatch):
         for r in pagerank(e, max_iter=10, tol=None, strategy="broadcast").collect()
     }
     assert all(abs(pr_a[k] - pr_b[k]) < 1e-12 for k in pr_b)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """PPR vs a dense numpy power iteration of the same update rule."""
+    import numpy as np
+
+    from motive_spark.kernels import personalized_pagerank
+
+    pairs = sorted(set(random_pairs(40, 160, seed=9)))
+    edges = edges_df(spark, pairs)
+    seeds = [0, 1, 2]
+    d = 0.85
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, damping=d, max_iter=12, tol=None
+        ).collect()
+    }
+
+    verts = sorted({v for p in pairs for v in p})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[ix[a], ix[b]] += 1.0
+        out[ix[a]] += 1.0
+    s = np.zeros(n)
+    for v in seeds:
+        s[ix[v]] = 1.0 / len(seeds)
+    r = s.copy()
+    for _ in range(12):
+        recv = np.zeros(n)
+        senders = out > 0
+        recv = (r[senders] / out[senders]) @ A[senders]
+        dang = r[~senders].sum()
+        r = (1 - d) * s + d * recv + d * dang * s
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in verts:
+        assert abs(got[v] - r[ix[v]]) < 1e-9, (v, got[v], r[ix[v]])
+
+
+def test_hits_matches_numpy(spark):
+    """HITS vs a dense numpy iteration of the same L1-normalized rule."""
+    import numpy as np
+
+    from motive_spark.kernels import hits
+
+    pairs = sorted(set(random_pairs(40, 160, seed=23)))
+    edges = edges_df(spark, pairs)
+    res = {r.id: (r.hub, r.auth) for r in hits(edges, max_iter=6).collect()}
+
+    verts = sorted({v for p in pairs for v in p})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[ix[a], ix[b]] = 1.0
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(6):
+        auth = hub @ A
+        auth = auth / (auth.sum() or 1.0)
+        hub = A @ auth
+        hub = hub / (hub.sum() or 1.0)
+    for v in verts:
+        assert abs(res[v][0] - hub[ix[v]]) < 1e-9, ("hub", v)
+        assert abs(res[v][1] - auth[ix[v]]) < 1e-9, ("auth", v)
+    assert abs(sum(h for h, _ in res.values()) - 1.0) < 1e-9
