@@ -188,6 +188,36 @@ s{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peel: ``rounds`` edge-filter rounds, then the
+    vertices with deg >= k in the final graph — exactly
+    kernels.k_core(..., max_rounds=rounds)."""
+    parts = ["WITH " + SQL_GRAPH + ",", "a0 AS MATERIALIZED (SELECT src, dst FROM und)"]
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        parts.append(
+            f""",d{i} AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT src AS id FROM {p} UNION ALL SELECT dst FROM {p}
+  ) GROUP BY id
+),
+k{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k}),
+a{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {p} e
+  JOIN k{i} x ON e.src = x.id JOIN k{i} y ON e.dst = y.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id FROM (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT src AS id FROM a{rounds} UNION ALL SELECT dst FROM a{rounds}
+  ) GROUP BY id
+) WHERE deg >= {k} ORDER BY id"""
+    )
+    return "\n".join(parts)
+
+
 SQL_COMPONENTS = (
     "WITH RECURSIVE "
     + SQL_GRAPH
@@ -328,6 +358,15 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80-core of the co-purchase graph (dense: lower k peels nothing),
+    8 fixed peel rounds, unrolled identically in the oracle; the
+    fixpoint variant is pytest-gated."""
+    from motive_spark.kernels import k_core
+
+    return k_core(_und(spark, sf_dir), 80, max_rounds=8).orderBy("id")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -387,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr": q_pagerank_csr,
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
+        "graph_kcore": q_graph_kcore,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -428,6 +468,7 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank_csr": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(PPR_SEEDS),
         "hits": _hits_sql(),
+        "graph_kcore": _kcore_sql(80, 8),
         "connected_components": SQL_COMPONENTS,
         "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),
@@ -640,6 +681,18 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""
+
+
+def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN top-k: deterministic md5-picked centroids, argmax-cosine
+    cell assignment, 4-of-16 probed cells, exact rescoring — the full
+    approximate plan is replicated in the DuckDB oracle."""
+    from motive_spark.datapipe import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5, n_queries=10, n_centroids=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +967,7 @@ _DATAPIPE_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
+    "knn_ivf_topk": q_knn_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "multimodal_features": q_multimodal_features,
     "motif_triad_census": q_motif_triad_census,
@@ -1141,6 +1195,45 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank""",
     "knn_lsh_topk": _lsh_sql(),
+    "knn_ivf_topk": """
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cvec FROM emb
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+assign0 AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         ROUND(list_cosine_similarity(e.v, c.cvec), 6) AS ccos
+  FROM emb e CROSS JOIN cents c),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid ASC) AS rn
+    FROM assign0) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid ASC) AS rn
+    FROM assign0 WHERE vec_id < 10) WHERE rn <= 4),
+cands AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE a.vec_id != p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_cosine_similarity(q.v, n.v), 6) AS cos
+  FROM cands
+  JOIN emb q ON q.vec_id = query_id
+  JOIN emb n ON n.vec_id = neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank""",
+
     "dedup_embedding_cosine": """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

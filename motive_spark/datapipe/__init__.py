@@ -7,6 +7,7 @@ from motive_spark.datapipe.dedup import (
 from motive_spark.datapipe.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from motive_spark.datapipe.text import (
@@ -23,6 +24,7 @@ __all__ = [
     "simhash_signatures",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "ivf_topk",
     "embedding_near_duplicates",
     "token_stats",
     "quality_scores",

@@ -223,3 +223,100 @@ def embedding_near_duplicates(
         )
     scored = with_cosine(pairs).withColumn("cos", F.round("cos", 6))
     return scored.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_centroids`` vectors whose
+    md5(vec_id) is smallest — a uniform hash pick that the DuckDB oracle
+    replicates byte-for-byte.  Lloyd refinement would tighten the cells
+    but is deliberately omitted: the one-pass pick has no k-means
+    shuffle, and recall is recovered by probing several cells
+    (``n_probe``).  Returns (cid, cvec).  TakeOrdered top-K — no global
+    sort materializes."""
+    return (
+        embeddings.select(
+            F.col("vec_id").alias("cid"),
+            _as_double("embedding").alias("cvec"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("cid", "cvec")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cid): every vector joins the BROADCAST centroid table
+    and keeps its max-cosine cell via a struct-min aggregation (no
+    window over big partitions).  Cosines are rounded to 6 dp BEFORE the
+    argmax so cell assignment is reproducible cross-engine."""
+    e = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    cos = _dot(F.col("v"), F.col("cvec")) / (
+        _norm(F.col("v")) * _norm(F.col("cvec"))
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", F.round(cos, 6).alias("ccos")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct((-F.col("ccos")).alias("nc"), F.col("cid"))).alias("b")
+    )
+    return (
+        e.join(best, on="vec_id").select("vec_id", "v", F.col("b.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` closest
+    cells and exactly rescores only those cells' members — the candidate
+    set shrinks by ~n_probe/n_centroids vs brute force, and the whole
+    plan is two broadcast joins plus one equi-join on the cell id (the
+    100-TB shape: no crossJoin against the full corpus).
+
+    Returns (query_id, neighbor_id, rank, cos), rank 1 = most similar.
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, cents)
+
+    q = assign.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcos = _dot(F.col("qv"), F.col("cvec")) / (
+        _norm(F.col("qv")) * _norm(F.col("cvec"))
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", F.round(qcos, 6).alias("ccos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cands = probes.join(assign, on="cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos, 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

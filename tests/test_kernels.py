@@ -275,3 +275,40 @@ def test_hits_matches_numpy(spark):
         assert abs(res[v][0] - hub[ix[v]]) < 1e-9, ("hub", v)
         assert abs(res[v][1] - auth[ix[v]]) < 1e-9, ("auth", v)
     assert abs(sum(h for h, _ in res.values()) - 1.0) < 1e-9
+
+
+def test_k_core_matches_python_peel(spark):
+    """k-core fixpoint vs a plain-python peeling oracle."""
+    from motive_spark.kernels import k_core
+
+    pairs = sorted(set(random_pairs(60, 220, seed=31)))
+    # plant a 5-clique so a dense core exists
+    for a in range(60, 65):
+        for b in range(a + 1, 65):
+            pairs.append((a, b))
+    edges = edges_df(spark, sorted(set(pairs)))
+
+    def py_core(k):
+        adj = {}
+        es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        return {v for v in adj if len(adj[v]) >= k}
+
+    for k in (2, 3, 4):
+        got = {r.id for r in k_core(edges, k).collect()}
+        assert got == py_core(k), (k, got ^ py_core(k))
+    # the planted 5-clique IS the 4-core (unless the random part adds)
+    assert set(range(60, 65)) <= {r.id for r in k_core(edges, 4).collect()}
+    # empty result when k exceeds every degree
+    assert k_core(edges, 50).count() == 0
