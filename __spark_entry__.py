@@ -336,7 +336,8 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.graph import vertices
     from motive_spark.kernels import personalized_pagerank
 
-    und = _und(spark, sf_dir)
+    und = _und(spark, sf_dir).cache()  # one co-purchase derivation for
+    # both the seed pick and the kernel's own edge cache
     seeds = [
         int(r["id"])
         for r in vertices(und).orderBy("id").limit(PPR_SEEDS).collect()
@@ -365,6 +366,35 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import k_core
 
     return k_core(_und(spark, sf_dir), 80, max_rounds=8).orderBy("id")
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC over the DIRECTED part-succession graph (part a -> part b iff
+    b follows a as the next linenumber of some order) — nontrivial
+    cycles appear across orders.  Oracle = exact mutual reachability via
+    a recursive closure; both sides label by the SCC's min vertex id."""
+    from motive_spark.kernels import strongly_connected_components
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    d = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1,
+            ],
+        )
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .dropDuplicates()
+    )
+    return strongly_connected_components(d).orderBy("id")
 
 
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "hits": q_hits,
         "graph_kcore": q_graph_kcore,
+        "graph_scc": q_graph_scc,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -469,6 +500,31 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "personalized_pagerank": _ppr_sql(PPR_SEEDS),
         "hits": _hits_sql(),
         "graph_kcore": _kcore_sql(80, 8),
+        "graph_scc": """
+WITH RECURSIVE dedges AS MATERIALIZED (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+                  CAST(b.l_partkey AS BIGINT) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey != b.l_partkey
+),
+dverts AS MATERIALIZED (
+  SELECT DISTINCT v AS id FROM (
+    SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges)
+),
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT d.id, LEAST(d.id, COALESCE(MIN(m.u), d.id)) AS scc
+FROM dverts d LEFT JOIN mutual m ON m.v = d.id
+GROUP BY d.id ORDER BY d.id""",
+
         "connected_components": SQL_COMPONENTS,
         "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),

@@ -312,3 +312,87 @@ def test_k_core_matches_python_peel(spark):
     assert set(range(60, 65)) <= {r.id for r in k_core(edges, 4).collect()}
     # empty result when k exceeds every degree
     assert k_core(edges, 50).count() == 0
+
+
+def test_scc_matches_tarjan(spark):
+    """Distributed coloring SCC vs an iterative Tarjan oracle, min-id
+    canonical labels, on random digraphs with planted cycles."""
+    from motive_spark.kernels import strongly_connected_components
+
+    def tarjan_sccs(pairs):
+        adj = {}
+        vs = set()
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, []).append(b)
+            vs.add(a)
+            vs.add(b)
+        index = {}
+        low = {}
+        on = set()
+        stack = []
+        out = {}
+        counter = [0]
+        for s in sorted(vs):
+            if s in index:
+                continue
+            work = [(s, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter[0]
+                    counter[0] += 1
+                    stack.append(v)
+                    on.add(v)
+                recurse = False
+                for w in adj.get(v, [])[pi:]:
+                    work[-1] = (v, pi + 1)
+                    pi += 1
+                    if w not in index:
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+        return out
+
+    import random
+
+    for seed, n, m in ((3, 30, 60), (7, 40, 120)):
+        rng = random.Random(seed)
+        pairs = sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        )
+        # plant two directed cycles so nontrivial SCCs exist
+        pairs += [(50, 51), (51, 52), (52, 50)]
+        pairs += [(60, 61), (61, 60)]
+        pairs = sorted(set(pairs))
+        edges = edges_df(spark, pairs)
+        got = {
+            r.id: r.scc
+            for r in strongly_connected_components(edges).collect()
+        }
+        want = tarjan_sccs(pairs)
+        assert got == want, {
+            k: (got.get(k), want.get(k))
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        }
