@@ -397,6 +397,36 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(d).orderBy("id")
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient (triangles over wedges)."""
+    from motive_spark.graph import local_clustering_coefficients
+
+    lcc = local_clustering_coefficients(_und(spark, sf_dir))
+    return lcc.select("id", F.round("lcc", 6).alias("lcc")).orderBy("id")
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity (one row)."""
+    from motive_spark.graph import degree_assortativity
+
+    r = degree_assortativity(_und(spark, sf_dir))
+    return r.select(F.round("assortativity", 6).alias("assortativity"))
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop ego networks of the 3 smallest vertices with exact BFS
+    distances (batched multi-source frontier joins)."""
+    from motive_spark.graph import k_hop_neighborhood, vertices
+
+    und = _und(spark, sf_dir).cache()
+    seeds = [
+        int(r["id"]) for r in vertices(und).orderBy("id").limit(3).collect()
+    ]
+    return k_hop_neighborhood(und, seeds, 2, directed=False).orderBy(
+        "source", "id"
+    )
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -458,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "graph_kcore": q_graph_kcore,
         "graph_scc": q_graph_scc,
+        "graph_clustering_coeff": q_graph_clustering,
+        "graph_assortativity": q_graph_assortativity,
+        "graph_khop": q_graph_khop,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -500,6 +533,38 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "personalized_pagerank": _ppr_sql(PPR_SEEDS),
         "hits": _hits_sql(),
         "graph_kcore": _kcore_sql(80, 8),
+        "graph_khop": (
+            "WITH " + SQL_GRAPH + """,
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+l0 AS (SELECT id AS source, id, 0 AS dist FROM seeds),
+l1 AS (SELECT DISTINCT h.source, e.dst AS id, 1 AS dist
+       FROM l0 h JOIN sym e ON h.id = e.src),
+l2 AS (SELECT DISTINCT h.source, e.dst AS id, 2 AS dist
+       FROM l1 h JOIN sym e ON h.id = e.src)
+SELECT source, id, MIN(dist) AS dist
+FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2)
+GROUP BY source, id ORDER BY source, id"""
+        ),
+        "graph_clustering_coeff": SQL_TRI + """,
+inc AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y AS id FROM tri
+  UNION ALL SELECT z AS id FROM tri
+),
+cnt AS (SELECT id, COUNT(*) AS t FROM inc GROUP BY id),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)
+SELECT v.id,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(2.0 * COALESCE(c.t, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM verts v JOIN deg d USING (id) LEFT JOIN cnt c USING (id)
+ORDER BY v.id""",
+        "graph_assortativity": (
+            "WITH " + SQL_GRAPH + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)
+SELECT ROUND(corr(x.deg, y.deg), 6) AS assortativity
+FROM sym e JOIN deg x ON e.src = x.id JOIN deg y ON e.dst = y.id"""
+        ),
         "graph_scc": """
 WITH RECURSIVE dedges AS MATERIALIZED (
   SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,

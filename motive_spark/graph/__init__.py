@@ -1,4 +1,9 @@
 from motive_spark.graph.gml import read_gml, write_gml
+from motive_spark.graph.metrics import (
+    degree_assortativity,
+    k_hop_neighborhood,
+    local_clustering_coefficients,
+)
 from motive_spark.graph.normalize import (
     degrees,
     normalize_ids,
@@ -14,5 +19,8 @@ __all__ = [
     "undirect",
     "vertices",
     "read_gml",
+    "local_clustering_coefficients",
+    "degree_assortativity",
+    "k_hop_neighborhood",
     "write_gml",
 ]

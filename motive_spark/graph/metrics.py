@@ -1,0 +1,106 @@
+"""Whole-graph and per-vertex structural metrics.
+
+Beyond-reference analytics that a link-graph user expects next to the
+kernels: local clustering coefficients (triangles over wedges, reusing
+the triangle kernel's join plan) and degree assortativity (Pearson
+correlation of endpoint degrees — one aggregation, no shuffle beyond
+the degree join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from motive_spark.graph.normalize import degrees, undirect
+from motive_spark.kernels.triangles import triangles_per_vertex
+
+
+def local_clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(id, lcc): 2*triangles(v) / (deg(v)*(deg(v)-1)), 0 when deg < 2.
+
+    Triangle counts come from the existing per-vertex triangle kernel
+    (sorted-orientation join plan); the wedge denominator is a pure
+    expression over the degree table.
+    """
+    und = undirect(edges)
+    tri = triangles_per_vertex(und)
+    deg = degrees(und.select("src", "dst"), directed=False)
+    # triangles_per_vertex already returns every vertex (0 for none)
+    return tri.join(deg, on="id").select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One row (assortativity): Pearson correlation of the undirected
+    degrees at the two endpoints of every edge, both orientations
+    counted (the standard Newman r)."""
+    und = undirect(edges)
+    sym = und.select("src", "dst").unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = degrees(und.select("src", "dst"), directed=False)
+    x = deg.select(F.col("id").alias("src"), F.col("deg").alias("dx"))
+    y = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dy"))
+    pairs = sym.join(x, on="src").join(y, on="dst")
+    # Pearson via covariance/stddev with try_divide: a regular graph has
+    # zero degree variance, where ANSI-mode corr() raises DIVIDE_BY_ZERO
+    # but the conventional (and DuckDB) answer is NULL
+    agg = pairs.agg(
+        F.covar_samp("dx", "dy").alias("cov"),
+        F.stddev_samp("dx").alias("sx"),
+        F.stddev_samp("dy").alias("sy"),
+    )
+    return agg.select(
+        F.try_divide(F.col("cov"), F.col("sx") * F.col("sy")).alias(
+            "assortativity"
+        )
+    )
+
+
+def k_hop_neighborhood(
+    edges: DataFrame,
+    sources: list[int],
+    k: int,
+    directed: bool = False,
+) -> DataFrame:
+    """(source, id, dist): vertices within ``k`` hops of each source,
+    with the exact hop distance (BFS levels as k frontier joins — one
+    equi-join + min-aggregation per level, lineage truncated per level;
+    the ego-network primitive batched over many sources at once)."""
+    spark = edges.sparkSession
+    if directed:
+        e = edges.select("src", "dst")
+    else:
+        und = undirect(edges)
+        e = und.select("src", "dst").unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.dropDuplicates(["src", "dst"]).cache()
+
+    state = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "source long, id long, dist int",
+    )
+    for t in range(1, k + 1):
+        frontier = state.where(F.col("dist") == t - 1).select(
+            "source", F.col("id").alias("src")
+        )
+        grown = frontier.join(e, on="src").select(
+            "source", F.col("dst").alias("id"), F.lit(t).alias("dist")
+        )
+        state = (
+            state.unionByName(grown)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return state

@@ -1,7 +1,13 @@
 from motive_spark.streaming.ingest import (
     running_degrees_stream,
+    stream_dedup_docs,
     stream_edges,
     windowed_edge_counts,
 )
 
-__all__ = ["stream_edges", "windowed_edge_counts", "running_degrees_stream"]
+__all__ = [
+    "stream_edges",
+    "windowed_edge_counts",
+    "running_degrees_stream",
+    "stream_dedup_docs",
+]

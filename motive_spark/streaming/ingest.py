@@ -115,3 +115,23 @@ def running_degrees_stream(edges: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup_docs(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST occurrence of
+    each text payload across micro-batches.
+
+    ``docs``: streaming (doc_id, text, event_time).  State = one row per
+    distinct md5 inside the watermark horizon
+    (dropDuplicatesWithinWatermark), so state stays bounded on an
+    unbounded stream — the streaming twin of datapipe's exact dedup.
+    """
+    keyed = docs.select(
+        "doc_id", "text", "event_time", F.md5("text").alias("text_md5")
+    )
+    return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["text_md5"]
+    )

@@ -396,3 +396,62 @@ def test_scc_matches_tarjan(spark):
             for k in set(got) | set(want)
             if got.get(k) != want.get(k)
         }
+
+
+def test_graph_metrics_known_values(spark):
+    """LCC and assortativity on hand-computable graphs."""
+    from motive_spark.graph import (
+        degree_assortativity,
+        local_clustering_coefficients,
+    )
+
+    # triangle + pendant: lcc(triangle vertices with pendant) drops
+    tri_pend = edges_df(spark, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    lcc = {r.id: r.lcc for r in local_clustering_coefficients(tri_pend).collect()}
+    assert lcc[1] == 1.0 and lcc[2] == 1.0
+    assert abs(lcc[0] - (2 * 1) / (3 * 2)) < 1e-9  # deg 3, 1 triangle
+    assert lcc[3] == 0.0  # pendant, deg 1
+
+    # star graph: strongly disassortative (hub-leaf edges only)
+    star = edges_df(spark, [(0, i) for i in range(1, 8)])
+    r = degree_assortativity(star).collect()[0][0]
+    assert r < -0.99
+
+    # clique: all degrees equal -> corr undefined (NULL) is acceptable;
+    # near-regular ring is assortative-neutral
+    ring = edges_df(spark, [(i, (i + 1) % 8) for i in range(8)])
+    rr = degree_assortativity(ring).collect()[0][0]
+    assert rr is None or abs(rr) < 1e-9  # all degrees 2
+
+
+def test_k_hop_matches_bfs(spark):
+    from motive_spark.graph import k_hop_neighborhood
+
+    pairs = sorted(set(random_pairs(50, 140, seed=41)))
+    edges = edges_df(spark, pairs)
+    got = {
+        (r.source, r.id): r.dist
+        for r in k_hop_neighborhood(edges, [0, 1], 3).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from collections import deque
+
+    for s in (0, 1):
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            if dist[v] >= 3:
+                continue
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    dq.append(u)
+        want = {(s, v): d for v, d in dist.items()}
+        got_s = {kk: d for kk, d in got.items() if kk[0] == s}
+        assert got_s == want, (s, set(got_s) ^ set(want))

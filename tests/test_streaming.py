@@ -168,3 +168,57 @@ def test_streamed_append_warm_starts_pagerank(spark, tmp_path):
     assert set(a) == set(b)
     for vid in a:
         assert abs(a[vid] - b[vid]) < 1e-6, (vid, a[vid], b[vid])
+
+
+def test_stream_dedup_docs_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state suppresses repeats that
+    arrive in LATER micro-batches (bounded by the watermark horizon)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from motive_spark.streaming import stream_dedup_docs
+
+    src_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src_dir)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+
+    def write_docs(name, rows):
+        tmp = os.path.join(src_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for i, (txt, ts) in enumerate(rows):
+                f.write(json.dumps({"doc_id": len(name) * 1000 + i,
+                                    "text": txt, "event_time": ts}) + "\n")
+        os.rename(tmp, os.path.join(src_dir, f"{name}.json"))
+
+    def drain():
+        q = (
+            stream_dedup_docs(
+                spark.readStream.schema(schema).json(src_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    write_docs("b0", [("alpha", "2026-01-01T00:00:01"),
+                      ("beta", "2026-01-01T00:00:02"),
+                      ("alpha", "2026-01-01T00:00:03")])  # in-batch dup
+    drain()
+    write_docs("b1", [("alpha", "2026-01-01T00:00:04"),  # cross-batch dup
+                      ("gamma", "2026-01-01T00:00:05")])
+    drain()
+    got = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
+    assert got == ["alpha", "beta", "gamma"], got
