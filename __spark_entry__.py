@@ -218,6 +218,53 @@ SELECT id FROM (
     return "\n".join(parts)
 
 
+def _weighted_pr_sql() -> str:
+    """Unrolled weighted PageRank (multiplicity-weighted co-purchase)."""
+    d = PR_DAMPING
+    parts = [
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+wund AS MATERIALIZED (
+  SELECT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT src, dst, w FROM wund
+  UNION ALL SELECT dst AS src, src AS dst, w FROM wund
+),
+wverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wsym),
+wout AS (SELECT src AS id, SUM(w) AS w_out FROM wsym GROUP BY src),
+wbase AS MATERIALIZED (
+  SELECT v.id, COALESCE(o.w_out, 0.0) AS w_out
+  FROM wverts v LEFT JOIN wout o USING (id)),
+wn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wbase),
+w0 AS MATERIALIZED (
+  SELECT id, w_out, 1.0::DOUBLE / (SELECT n FROM wn) AS rank FROM wbase)""",
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = f"w{i - 1}"
+        parts.append(
+            f""",wc{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank * e.w / r.w_out) AS recv
+  FROM wsym e JOIN {p} r ON e.src = r.id AND r.w_out > 0
+  GROUP BY e.dst
+),
+w{i} AS MATERIALIZED (
+  SELECT b.id, b.w_out,
+         (1.0::DOUBLE - {d}) / (SELECT n FROM wn)
+         + {d} * COALESCE(c.recv, 0.0::DOUBLE)
+         + {d} * (SELECT COALESCE(SUM(rank), 0.0::DOUBLE) FROM {p} WHERE w_out = 0)
+               / (SELECT n FROM wn) AS rank
+  FROM wbase b LEFT JOIN wc{i} c USING (id)
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, ROUND(rank, 6) AS rank FROM w{PR_ITERS} ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 SQL_COMPONENTS = (
     "WITH RECURSIVE "
     + SQL_GRAPH
@@ -427,6 +474,45 @@ def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the symmetric co-purchase graph with the
+    P1 multiplicity side channel as edge weight (co-occurrence count)."""
+    from motive_spark.kernels import weighted_pagerank
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wund = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    wsym = wund.unionByName(
+        wund.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "mult"
+        )
+    )
+    pr = weighted_pagerank(
+        wsym, damping=PR_DAMPING, max_iter=PR_ITERS, tol=None
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy("id")
+
+
+def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter values + pass booleans."""
+    from motive_spark.datapipe import gopher_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_quality_filter(docs).orderBy("doc_id")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -485,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_csr": q_pagerank_csr,
         "personalized_pagerank": q_personalized_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "hits": q_hits,
         "graph_kcore": q_graph_kcore,
         "graph_scc": q_graph_scc,
@@ -531,6 +618,7 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank": _pagerank_sql(),
         "pagerank_csr": _pagerank_sql(),
         "personalized_pagerank": _ppr_sql(PPR_SEEDS),
+        "pagerank_weighted": _weighted_pr_sql(),
         "hits": _hits_sql(),
         "graph_kcore": _kcore_sql(80, 8),
         "graph_khop": (
@@ -1086,6 +1174,7 @@ _DATAPIPE_QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_gopher": q_text_gopher,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
@@ -1235,6 +1324,29 @@ _DATAPIPE_ORACLES = {
 SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
+    "text_gopher": """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS n_alpha,
+         len(string_split_regex(text, '[^A-Za-z0-9\\s]+')) - 1 AS n_symbols,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_words,
+  ROUND(n_alpha * 1.0 / n_words, 6) AS mean_word_len,
+  ROUND(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+  ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+  (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+  (n_alpha * 1.0 / n_words >= 3.0 AND n_alpha * 1.0 / n_words <= 10.0) AS rule_word_len,
+  (n_symbols * 1.0 / n_words <= 0.1) AS rule_symbols,
+  (n_distinct * 1.0 / n_words >= 0.3) AS rule_repetition,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (n_alpha * 1.0 / n_words >= 3.0 AND n_alpha * 1.0 / n_words <= 10.0)
+   AND (n_symbols * 1.0 / n_words <= 0.1)
+   AND (n_distinct * 1.0 / n_words >= 0.3)) AS passes
+FROM t ORDER BY doc_id""",
+
     # byte-exact featurizer contract: blob bytes recovered from hex()
     # digit pairs (strpos over '123456789ABCDEF' maps '0'->0 .. 'F'->15),
     # binned >>3, compared as integer counts + a (bin+1)-weighted

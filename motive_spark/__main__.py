@@ -46,13 +46,73 @@ def _load_edges(spark, path: str, filetype: str, undirected: bool):
     return edges, not undirected
 
 
+def _run_kernel(args, edges):
+    """Dispatch --type kernel to the library kernels (results land as
+    Parquet under --output)."""
+    import motive_spark.kernels as K
+    from motive_spark.graph import (
+        degree_assortativity,
+        local_clustering_coefficients,
+        vertices,
+    )
+    from pyspark.sql import functions as F
+
+    if args.kernel == "pagerank":
+        return K.pagerank(edges, max_iter=args.iterations, tol=None)
+    if args.kernel == "weighted_pagerank":
+        e = edges if "mult" in edges.columns else edges.withColumn(
+            "mult", F.lit(1)
+        )
+        return K.weighted_pagerank(e, max_iter=args.iterations)
+    if args.kernel == "personalized_pagerank":
+        if args.kernel_seeds:
+            seeds = [int(x) for x in args.kernel_seeds.split(",")]
+        else:
+            seeds = [
+                int(r["id"])
+                for r in vertices(edges).orderBy("id").limit(5).collect()
+            ]
+        return K.personalized_pagerank(edges, seeds, max_iter=args.iterations)
+    if args.kernel == "hits":
+        return K.hits(edges, max_iter=args.iterations)
+    if args.kernel == "connected_components":
+        return K.connected_components(edges)
+    if args.kernel == "scc":
+        return K.strongly_connected_components(edges)
+    if args.kernel == "label_propagation":
+        return K.label_propagation(edges, iters=args.iterations)
+    if args.kernel == "triangle_count":
+        return K.triangle_count(edges)
+    if args.kernel == "k_core":
+        return K.k_core(edges, args.k)
+    if args.kernel == "clustering":
+        return local_clustering_coefficients(edges)
+    if args.kernel == "assortativity":
+        return degree_assortativity(edges)
+    raise ValueError(args.kernel)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="python -m motive_spark",
         description="PySpark-native motif analysis (reference-parity CLI)",
     )
     p.add_argument("--type", default="fast",
-                   choices=["fast", "full", "synth", "convert"])
+                   choices=["fast", "full", "synth", "convert", "kernel"])
+    p.add_argument("--kernel", default="pagerank",
+                   choices=["pagerank", "personalized_pagerank",
+                            "weighted_pagerank", "hits",
+                            "connected_components", "scc",
+                            "label_propagation", "triangle_count",
+                            "k_core", "clustering", "assortativity"],
+                   help="--type kernel: which link-graph kernel to run")
+    p.add_argument("--iterations", type=int, default=10,
+                   help="--type kernel: superstep count for iterative kernels")
+    p.add_argument("--k", type=int, default=3,
+                   help="--type kernel: k for k_core")
+    p.add_argument("--kernel.seeds", dest="kernel_seeds", default="",
+                   help="--type kernel: comma-separated seed vertices for "
+                        "personalized_pagerank")
     p.add_argument("--file", dest="file")
     p.add_argument("--filetype", default="edgelist",
                    choices=["edgelist", "gml", "parquet"])
@@ -98,6 +158,13 @@ def main(argv=None) -> int:
     edges, directed = _load_edges(spark, args.file, args.filetype, args.undirected)
     if args.undirected:
         directed = False
+
+    if args.type == "kernel":
+        out_df = _run_kernel(args, edges)
+        out_df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"kernel": args.kernel, "written": args.output,
+                          "rows": out_df.count()}))
+        return 0
 
     if args.type == "convert":
         # the preload analogue: materialize to the disk-backed format

@@ -13,6 +13,7 @@ from motive_spark.datapipe.similarity import (
 from motive_spark.datapipe.text import (
     detect_language,
     document_fingerprint,
+    gopher_quality_filter,
     quality_scores,
     token_stats,
 )
@@ -29,5 +30,6 @@ __all__ = [
     "token_stats",
     "quality_scores",
     "detect_language",
+    "gopher_quality_filter",
     "document_fingerprint",
 ]

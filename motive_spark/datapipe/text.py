@@ -123,3 +123,49 @@ def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFram
         "doc_id",
         F.slice(F.array_sort(F.array_distinct(grams)), 1, k).alias("fingerprint"),
     )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document filter rules (Rae et al. 2021, public
+    literature), as pure column expressions over whitespace tokens:
+
+      R1 word count within [min_words, max_words]
+      R2 mean word length within [min_mean_word_len, max_mean_word_len]
+      R3 symbol-to-word ratio (#, …, non-alnum runs) <= max_symbol_ratio
+      R4 distinct-word ratio >= min_distinct_ratio (repetition guard)
+
+    Returns per-doc rule values, each rule's boolean, and ``passes`` =
+    AND of all rules — the shape a pretraining pipeline filters on.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / n_words
+    )
+    n_symbols = F.size(F.split(F.col("text"), r"[^A-Za-z0-9\s]+")) - 1
+    sym_ratio = n_symbols / n_words
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_words
+    r1 = (n_words >= min_words) & (n_words <= max_words)
+    r2 = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    r3 = sym_ratio <= max_symbol_ratio
+    r4 = distinct_ratio >= min_distinct_ratio
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        r1.alias("rule_word_count"),
+        r2.alias("rule_word_len"),
+        r3.alias("rule_symbols"),
+        r4.alias("rule_repetition"),
+        (r1 & r2 & r3 & r4).alias("passes"),
+    )

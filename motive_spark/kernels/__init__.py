@@ -2,13 +2,18 @@ from motive_spark.kernels.components import connected_components
 from motive_spark.kernels.hits import hits
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.labelprop import label_propagation
-from motive_spark.kernels.pagerank import pagerank, personalized_pagerank
+from motive_spark.kernels.pagerank import (
+    pagerank,
+    personalized_pagerank,
+    weighted_pagerank,
+)
 from motive_spark.kernels.scc import strongly_connected_components
 from motive_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
     "pagerank",
     "personalized_pagerank",
+    "weighted_pagerank",
     "hits",
     "k_core",
     "connected_components",

@@ -266,3 +266,22 @@ def test_ivf_topk_recall_and_cell_partition(emb):
         1 for q, n1 in exact_top1.items() if n1 in approx_map.get(q, set())
     )
     assert hits / len(exact_top1) >= 0.4
+
+
+def test_gopher_filter_rules(spark):
+    from motive_spark.datapipe import gopher_quality_filter
+
+    rows = [
+        (0, " ".join(f"word{i}" for i in range(50))),            # passes
+        (1, "too short"),                                        # R1 fails
+        (2, " ".join(["a"] * 60)),                               # R2+R4 fail
+        (3, " ".join(["@@@#!"] * 60)),                           # R3 fails (symbols)
+        (4, " ".join(["same"] * 60)),                            # R4 fails
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
+    assert out[0].passes
+    assert not out[1].rule_word_count and not out[1].passes
+    assert not out[2].rule_word_len and not out[2].passes
+    assert not out[3].rule_symbols and not out[3].passes
+    assert not out[4].rule_repetition and not out[4].passes

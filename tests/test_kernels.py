@@ -455,3 +455,26 @@ def test_k_hop_matches_bfs(spark):
         want = {(s, v): d for v, d in dist.items()}
         got_s = {kk: d for kk, d in got.items() if kk[0] == s}
         assert got_s == want, (s, set(got_s) ^ set(want))
+
+
+def test_weighted_pagerank_reduces_to_plain_and_responds_to_weights(spark):
+    from pyspark.sql import functions as F
+
+    from motive_spark.kernels import pagerank, weighted_pagerank
+
+    pairs = sorted(set(random_pairs(40, 150, seed=13)))
+    edges = edges_df(spark, pairs)
+    # unit weights == plain pagerank (same update rule)
+    w1 = edges.withColumn("mult", F.lit(1))
+    a = {r.id: r.rank for r in weighted_pagerank(w1, max_iter=8).collect()}
+    b = {r.id: r.rank for r in pagerank(edges, max_iter=8, tol=None).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12, (v, a[v], b[v])
+    # boosting all edges into vertex 0 raises its rank
+    wup = edges.withColumn(
+        "mult", F.when(F.col("dst") == 0, F.lit(10)).otherwise(F.lit(1))
+    )
+    c = {r.id: r.rank for r in weighted_pagerank(wup, max_iter=8).collect()}
+    assert c[0] > a[0]
+    assert abs(sum(c.values()) - 1.0) < 1e-9
