@@ -26,10 +26,14 @@ from pyspark.sql import functions as F
 def hits(
     edges: DataFrame,
     max_iter: int = 8,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Returns (id, hub, auth) after ``max_iter`` L1-normalized
-    supersteps over the DIRECTED edge table (src -> dst)."""
+    supersteps over the DIRECTED edge table (src -> dst).
+
+    ``strategy="auto"`` broadcasts the score side only below the
+    pagerank broadcast threshold; above it the score side co-partitions
+    (shuffle-hash) against the stationary edge table."""
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -43,6 +47,12 @@ def hits(
     n = verts.count()
     if n == 0:
         return spark.createDataFrame([], "id long, hub double, auth double")
+    if strategy == "auto":
+        from motive_spark.kernels.pagerank import BROADCAST_MAX_VERTICES
+
+        strategy = (
+            "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+        )
 
     state = verts.select(
         "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")

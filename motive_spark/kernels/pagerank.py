@@ -251,6 +251,7 @@ def weighted_pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     tol: float | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """PageRank over a WEIGHTED edge table: each vertex splits its rank
     over out-edges proportionally to the edge weight (the multiplicity
@@ -289,10 +290,18 @@ def weighted_pagerank(
     n = base.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
+    if strategy == "auto":
+        # a 10^9-row rank table must never broadcast: co-partition the
+        # rank side against the stationary hash(src)-partitioned edges
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
     ranks = base.select("id", (F.lit(1.0) / n).alias("rank"))
     for _ in range(max_iter):
-        sender = F.broadcast(ranks)
+        sender = (
+            F.broadcast(ranks)
+            if strategy == "broadcast"
+            else ranks.hint("shuffle_hash")
+        )
         contribs = (
             ew.join(sender, on=[ranks.id == ew.src])
             .groupBy(F.col("dst").alias("vid"))
@@ -338,6 +347,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     tol: float | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Personalized PageRank: restart mass (and dangling mass) teleports
     uniformly to ``seeds`` instead of all vertices —
@@ -376,11 +386,21 @@ def personalized_pagerank(
     n = base.count()
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
+    if strategy == "auto":
+        # same discipline as pagerank: the rank side broadcasts only
+        # below the threshold, else it co-partitions (shuffle-hash) —
+        # never a |V|-row broadcast at scale
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
     ranks = base.select("id", F.col("s").alias("rank"))
     for _ in range(max_iter):
         with_deg = ranks.join(base.select("id", "out_deg"), on="id")
-        sender = F.broadcast(with_deg.where(F.col("out_deg") > 0))
+        live = with_deg.where(F.col("out_deg") > 0)
+        sender = (
+            F.broadcast(live)
+            if strategy == "broadcast"
+            else live.hint("shuffle_hash")
+        )
         contribs = (
             sender.join(e, on=[with_deg.id == e.src])
             .groupBy(F.col("dst").alias("vid"))

@@ -478,3 +478,36 @@ def test_weighted_pagerank_reduces_to_plain_and_responds_to_weights(spark):
     c = {r.id: r.rank for r in weighted_pagerank(wup, max_iter=8).collect()}
     assert c[0] > a[0]
     assert abs(sum(c.values()) - 1.0) < 1e-9
+
+
+def test_iterative_kernels_copartition_equals_broadcast(spark):
+    """PPR / weighted PR / HITS give identical results under the
+    copartition strategy (the >2M-vertex path) as under broadcast —
+    and the copartition superstep's join is a ShuffledHashJoin, never a
+    |V|-row broadcast."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.kernels import (
+        hits,
+        personalized_pagerank,
+        weighted_pagerank,
+    )
+
+    pairs = sorted(set(random_pairs(50, 200, seed=19)))
+    edges = edges_df(spark, pairs)
+    w = edges.withColumn("mult", (F.col("src") % 3 + 1))
+
+    for fn in (
+        lambda s: personalized_pagerank(edges, [0, 1], max_iter=6, strategy=s),
+        lambda s: weighted_pagerank(w, max_iter=6, strategy=s),
+    ):
+        a = sorted(map(tuple, fn("broadcast").collect()))
+        b = sorted(map(tuple, fn("copartition").collect()))
+        assert len(a) == len(b)
+        for ra, rb in zip(a, b):
+            assert ra[0] == rb[0] and abs(ra[1] - rb[1]) < 1e-12
+    ha = sorted(map(tuple, hits(edges, max_iter=4, strategy="broadcast").collect()))
+    hb = sorted(map(tuple, hits(edges, max_iter=4, strategy="copartition").collect()))
+    for ra, rb in zip(ha, hb):
+        assert ra[0] == rb[0]
+        assert abs(ra[1] - rb[1]) < 1e-12 and abs(ra[2] - rb[2]) < 1e-12
