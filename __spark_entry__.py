@@ -513,6 +513,16 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(docs).orderBy("doc_id")
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 4-step random walks, 2 per vertex, md5-indexed
+    neighbor choice — the DuckDB oracle replays the identical walks."""
+    from motive_spark.graph import random_walks
+
+    return random_walks(
+        _und(spark, sf_dir), walk_length=4, walks_per_vertex=2, seed=7
+    ).orderBy("start", "widx")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -578,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": q_graph_clustering,
         "graph_assortativity": q_graph_assortativity,
         "graph_khop": q_graph_khop,
+        "graph_random_walks": q_graph_random_walks,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -621,6 +632,27 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank_weighted": _weighted_pr_sql(),
         "hits": _hits_sql(),
         "graph_kcore": _kcore_sql(80, 8),
+        "graph_random_walks": (
+            "WITH " + SQL_GRAPH + """,
+adj AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM sym GROUP BY src
+),
+s0 AS (
+  SELECT src AS start, w.widx, src AS cur, CAST(src AS VARCHAR) AS path
+  FROM adj CROSS JOIN (VALUES (0), (1)) AS w(widx)
+)"""
+            + "".join(
+                f""",s{t} AS MATERIALIZED (
+  SELECT s.start, s.widx,
+         a.nbrs[CAST(('0x' || substr(md5(s.start || '|' || s.widx || '|' || '{t}' || '|' || '7'), 1, 8))::BIGINT % a.deg AS INT) + 1] AS cur,
+         s.path || '|' || a.nbrs[CAST(('0x' || substr(md5(s.start || '|' || s.widx || '|' || '{t}' || '|' || '7'), 1, 8))::BIGINT % a.deg AS INT) + 1] AS path
+  FROM s{t - 1} s JOIN adj a ON a.src = s.cur
+)"""
+                for t in range(1, 4)
+            )
+            + "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
+        ),
         "graph_khop": (
             "WITH " + SQL_GRAPH + """,
 seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),

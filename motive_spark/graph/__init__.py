@@ -3,6 +3,7 @@ from motive_spark.graph.metrics import (
     degree_assortativity,
     k_hop_neighborhood,
     local_clustering_coefficients,
+    random_walks,
 )
 from motive_spark.graph.normalize import (
     degrees,
@@ -22,5 +23,6 @@ __all__ = [
     "local_clustering_coefficients",
     "degree_assortativity",
     "k_hop_neighborhood",
+    "random_walks",
     "write_gml",
 ]

@@ -104,3 +104,88 @@ def k_hop_neighborhood(
         )
     e.unpersist()
     return state
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    directed: bool = False,
+) -> DataFrame:
+    """Deterministic random walks from every vertex — the node2vec /
+    DeepWalk corpus generator for graph-embedding training data.
+
+    Step t of walk (start, widx) picks neighbor index
+    ``int(md5(start|widx|t|seed)[:8], 16) mod deg(cur)`` over the
+    SORTED neighbor list — md5 is byte-identical cross-engine, so the
+    DuckDB oracle replays the exact same walks.  Returns
+    (start, widx, path) with path as a '|'-joined id string; walks stop
+    early at dead ends (directed graphs only).
+
+    Scale shape: one groupBy builds the adjacency lists (hub rows are
+    wide but single — the CSR salting caveat applies); each step is one
+    equi-join on the current vertex.  No driver-side anything.
+    """
+    spark = edges.sparkSession
+    if directed:
+        sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    else:
+        und = undirect(edges)
+        sym = und.select("src", "dst").unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    adj = (
+        sym.dropDuplicates(["src", "dst"])
+        .groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+        .cache()
+    )
+    verts = adj.select(F.col("src").alias("start"))
+    state = verts.select(
+        "start",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+        ).alias("widx"),
+    ).select(
+        "start",
+        "widx",
+        F.col("start").alias("cur"),
+        F.array("start").alias("path"),
+    )
+    for t in range(1, walk_length):
+        key = F.concat_ws(
+            "|",
+            F.col("start").cast("string"),
+            F.col("widx").cast("string"),
+            F.lit(str(t)),
+            F.lit(str(seed)),
+        )
+        idx = F.pmod(
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"),
+            F.col("deg"),
+        )
+        nxt = F.element_at("nbrs", (idx + 1).cast("int"))
+        state = (
+            state.join(adj, on=[state.cur == adj.src], how="left")
+            .select(
+                "start",
+                "widx",
+                F.coalesce(nxt, F.col("cur")).alias("cur"),
+                F.when(nxt.isNotNull(), F.concat("path", F.array(nxt)))
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return state.select(
+        "start",
+        "widx",
+        F.array_join(F.transform("path", lambda x: x.cast("string")), "|").alias(
+            "path"
+        ),
+    )

@@ -511,3 +511,42 @@ def test_iterative_kernels_copartition_equals_broadcast(spark):
     for ra, rb in zip(ha, hb):
         assert ra[0] == rb[0]
         assert abs(ra[1] - rb[1]) < 1e-12 and abs(ra[2] - rb[2]) < 1e-12
+
+
+def test_random_walks_python_replay_and_dead_ends(spark):
+    import hashlib
+
+    from motive_spark.graph import random_walks
+
+    pairs = sorted(set(random_pairs(30, 90, seed=3)))
+    edges = edges_df(spark, pairs)
+    got = {
+        (r.start, r.widx): r.path
+        for r in random_walks(edges, walk_length=5, walks_per_vertex=2,
+                              seed=11).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbrs = {v: sorted(us) for v, us in adj.items()}
+    for (s, w), path in got.items():
+        cur, want = s, [s]
+        for t in range(1, 5):
+            key = f"{s}|{w}|{t}|11".encode()
+            h = int(hashlib.md5(key).hexdigest()[:8], 16)
+            cur = nbrs[cur][h % len(nbrs[cur])]
+            want.append(cur)
+        assert path == "|".join(map(str, want)), (s, w, path, want)
+    assert len(got) == len(nbrs) * 2
+
+    # directed chain: walk stops at the sink instead of erroring
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    dw = {
+        (r.start, r.widx): r.path
+        for r in random_walks(chain, walk_length=4, walks_per_vertex=1,
+                              seed=1, directed=True).collect()
+    }
+    assert dw[(0, 0)] == "0|1|2" and dw[(1, 0)] == "1|2"
