@@ -523,6 +523,30 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("start", "widx")
 
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 link-prediction candidates by Jaccard (rounded BEFORE
+    ranking; ties by (u, v)) with common-neighbor and Adamic-Adar
+    scores."""
+    from pyspark.sql import Window
+
+    from motive_spark.graph import link_prediction_scores
+
+    s = link_prediction_scores(_und(spark, sf_dir)).select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        "is_edge",
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 200)
+        .orderBy("rank")
+    )
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -589,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_khop": q_graph_khop,
         "graph_random_walks": q_graph_random_walks,
+        "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
@@ -632,6 +657,34 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "pagerank_weighted": _weighted_pr_sql(),
         "hits": _hits_sql(),
         "graph_kcore": _kcore_sql(80, 8),
+        "graph_link_prediction": (
+            "WITH " + SQL_GRAPH + """,
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+mid AS (SELECT e.src AS w, e.dst AS u, d.deg AS wdeg
+        FROM sym e JOIN deg d ON e.src = d.id),
+pairs AS (
+  SELECT a.u, b.u AS v, COUNT(*) AS common_neighbors,
+         SUM(1.0 / ln(a.wdeg)) AS aa
+  FROM mid a JOIN mid b ON a.w = b.w AND a.u < b.u
+  GROUP BY a.u, b.u
+),
+scored AS (
+  SELECT p.u, p.v, p.common_neighbors,
+         ROUND(p.common_neighbors * 1.0
+               / (x.deg + y.deg - p.common_neighbors), 6) AS jaccard,
+         ROUND(p.aa, 6) AS adamic_adar,
+         (e.src IS NOT NULL) AS is_edge
+  FROM pairs p
+  JOIN deg x ON x.id = p.u JOIN deg y ON y.id = p.v
+  LEFT JOIN und e ON e.src = p.u AND e.dst = p.v
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC) AS rank
+  FROM scored
+)
+SELECT u, v, common_neighbors, jaccard, adamic_adar, is_edge, rank
+FROM ranked WHERE rank <= 200 ORDER BY rank"""
+        ),
         "graph_random_walks": (
             "WITH " + SQL_GRAPH + """,
 adj AS MATERIALIZED (

@@ -2,6 +2,7 @@ from motive_spark.graph.gml import read_gml, write_gml
 from motive_spark.graph.metrics import (
     degree_assortativity,
     k_hop_neighborhood,
+    link_prediction_scores,
     local_clustering_coefficients,
     random_walks,
 )
@@ -24,5 +25,6 @@ __all__ = [
     "degree_assortativity",
     "k_hop_neighborhood",
     "random_walks",
+    "link_prediction_scores",
     "write_gml",
 ]

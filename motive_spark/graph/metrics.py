@@ -189,3 +189,62 @@ def random_walks(
             "path"
         ),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Classic link-prediction scores for every vertex pair with at
+    least ``min_common`` common neighbors (u < v):
+
+      common_neighbors  |N(u) ∩ N(v)|
+      jaccard           cn / (deg(u) + deg(v) - cn)
+      adamic_adar       sum over common w of 1 / ln(deg(w))
+      is_edge           whether (u, v) is already an edge
+
+    One wedge self-join on the middle vertex + one aggregation.  Hub
+    middles blow up quadratically (deg^2 wedge pairs); at scale pass
+    ``max_middle_degree`` to cap them — the standard approximation, and
+    the same skew lever the triangle kernel's degree orientation uses.
+    """
+    und = undirect(edges)
+    sym = und.select("src", "dst").unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = degrees(und.select("src", "dst"), directed=False)
+    mid = sym.join(deg.withColumnRenamed("id", "src"), on="src")
+    if max_middle_degree is not None:
+        mid = mid.where(F.col("deg") <= max_middle_degree)
+    a = mid.select(
+        F.col("src").alias("w"), F.col("dst").alias("u"), F.col("deg").alias("wdeg")
+    )
+    b = mid.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    pairs = a.join(b, on="w").where(F.col("u") < F.col("v"))
+    scores = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(1.0 / F.log("wdeg")).alias("adamic_adar"),
+    )
+    scores = scores.where(F.col("common_neighbors") >= min_common)
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    e_flag = und.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(True).alias("is_edge")
+    )
+    return (
+        scores.join(du, on="u")
+        .join(dv, on="v")
+        .join(e_flag, on=["u", "v"], how="left")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+            "adamic_adar",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+    )

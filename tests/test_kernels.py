@@ -550,3 +550,28 @@ def test_random_walks_python_replay_and_dead_ends(spark):
                               seed=1, directed=True).collect()
     }
     assert dw[(0, 0)] == "0|1|2" and dw[(1, 0)] == "1|2"
+
+
+def test_link_prediction_scores_known_graph(spark):
+    import math
+
+    from motive_spark.graph import link_prediction_scores
+
+    # square 0-1-2-3-0 plus chord 0-2: known common-neighbor structure
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    edges = edges_df(spark, pairs)
+    rows = {(r.u, r.v): r for r in link_prediction_scores(edges).collect()}
+    # non-edge (1, 3): common neighbors {0, 2}, deg1=2 deg3=2 -> J=2/2=1
+    r13 = rows[(1, 3)]
+    assert r13.common_neighbors == 2 and not r13.is_edge
+    assert abs(r13.jaccard - 2 / (2 + 2 - 2)) < 1e-9
+    assert abs(r13.adamic_adar - 2 / math.log(3)) < 1e-9  # deg(0)=deg(2)=3
+    # existing edge (0, 2): common {1, 3}, flagged as edge
+    r02 = rows[(0, 2)]
+    assert r02.common_neighbors == 2 and r02.is_edge
+    # hub cap: middles above the threshold contribute nothing
+    capped = {
+        (r.u, r.v): r
+        for r in link_prediction_scores(edges, max_middle_degree=2).collect()
+    }
+    assert (1, 3) not in capped  # both middles have degree 3
