@@ -265,6 +265,44 @@ w{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _seeded_lp_sql() -> str:
+    """Unrolled seeded (clamped) label propagation — same rule as
+    kernels.seeded_label_propagation."""
+    parts = [
+        "WITH " + SQL_GRAPH + ",",
+        """seeds AS MATERIALIZED (
+  SELECT id, id % 2 AS seed_label FROM (SELECT id FROM verts ORDER BY id LIMIT 4)),
+t0 AS MATERIALIZED (
+  SELECT v.id, s.seed_label AS label FROM verts v LEFT JOIN seeds s USING (id))""",
+    ]
+    for i in range(1, LP_ITERS + 1):
+        p = f"t{i - 1}"
+        parts.append(
+            f""",sv{i} AS MATERIALIZED (
+  SELECT e.src AS id, l.label, COUNT(*) AS cnt
+  FROM sym e JOIN {p} l ON e.dst = l.id
+  WHERE l.label IS NOT NULL
+  GROUP BY e.src, l.label
+),
+sw{i} AS MATERIALIZED (
+  SELECT id, label AS win FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+    FROM sv{i}
+  ) WHERE rn = 1
+),
+t{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.seed_label, w.win, o.label) AS label
+  FROM verts v
+  LEFT JOIN seeds s USING (id)
+  LEFT JOIN sw{i} w USING (id)
+  LEFT JOIN {p} o USING (id)
+)"""
+        )
+    parts.append(f"\nSELECT id, label FROM t{LP_ITERS} ORDER BY id")
+    return "\n".join(parts)
+
+
 SQL_COMPONENTS = (
     "WITH RECURSIVE "
     + SQL_GRAPH
@@ -547,6 +585,23 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LP: the 4 smallest vertices are clamped to label
+    id % 2; 4 synchronous rounds; unreached vertices stay NULL."""
+    from motive_spark.graph import vertices
+    from motive_spark.kernels import seeded_label_propagation
+
+    und = _und(spark, sf_dir).cache()
+    seeds = (
+        vertices(und)
+        .orderBy("id")
+        .limit(4)
+        .select("id", F.pmod("id", F.lit(2)).alias("label"))
+    )
+    out = seeded_label_propagation(und, seeds, iters=LP_ITERS)
+    return out.orderBy("id")
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import connected_components
 
@@ -618,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_csr": q_components_csr,
         "label_propagation": q_labelprop,
         "label_propagation_csr": q_labelprop_csr,
+        "label_propagation_seeded": q_label_propagation_seeded,
         "triangle_count_total": q_triangle_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         **_DATAPIPE_QUERIES,
@@ -767,6 +823,7 @@ GROUP BY d.id ORDER BY d.id""",
         "connected_components_csr": SQL_COMPONENTS,
         "label_propagation": _labelprop_sql(),
         "label_propagation_csr": _labelprop_sql(),
+        "label_propagation_seeded": _seeded_lp_sql(),
         "triangle_count_total": SQL_TRI
         + "SELECT COUNT(*) AS n_triangles FROM tri",
         "triangles_per_vertex": SQL_TRI

@@ -1,7 +1,10 @@
 from motive_spark.kernels.components import connected_components
 from motive_spark.kernels.hits import hits
 from motive_spark.kernels.kcore import k_core
-from motive_spark.kernels.labelprop import label_propagation
+from motive_spark.kernels.labelprop import (
+    label_propagation,
+    seeded_label_propagation,
+)
 from motive_spark.kernels.pagerank import (
     pagerank,
     personalized_pagerank,
@@ -19,6 +22,7 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "label_propagation",
+    "seeded_label_propagation",
     "triangle_count",
     "triangles_per_vertex",
 ]

@@ -111,3 +111,79 @@ def label_propagation(
     if csr is not None:
         csr.unpersist()
     return labels.select("id", "label")
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Semi-supervised label propagation: ``seeds`` ((id, label)) are
+    CLAMPED — they never change — and unlabeled vertices take the
+    most frequent label among labeled neighbors each synchronous round
+    (ties to the smallest label; vertices no labeled vertex has reached
+    yet stay NULL).  Returns (id, label) after exactly ``iters`` rounds.
+
+    Same physical shape as label_propagation's broadcast/copartition
+    paths: stationary symmetric edge cache, moving label table, lineage
+    truncation per round.
+    """
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(npart, "dst")
+        .cache()
+    )
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    if strategy == "auto":
+        n = verts.count()
+        strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
+
+    def _side(df):
+        return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
+
+    seed_tab = seeds.select(
+        "id", F.col("label").cast("long").alias("seed_label")
+    ).cache()
+    state = verts.join(seed_tab, on="id", how="left").select(
+        "id", F.col("seed_label").alias("label")
+    )
+    for _ in range(iters):
+        lab = state.where(F.col("label").isNotNull()).select(
+            F.col("id").alias("nbr"), "label"
+        )
+        votes = (
+            sym.join(_side(lab), on=[lab.nbr == sym.dst])
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("b")
+            )
+            .select("id", F.col("b.label").alias("win"))
+        )
+        state = (
+            verts.join(seed_tab, on="id", how="left")
+            .join(winner, on="id", how="left")
+            .join(
+                state.withColumnRenamed("label", "old"), on="id", how="left"
+            )
+            .select(
+                "id",
+                F.coalesce("seed_label", "win", "old").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    seed_tab.unpersist()
+    return state

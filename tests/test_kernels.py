@@ -575,3 +575,28 @@ def test_link_prediction_scores_known_graph(spark):
         for r in link_prediction_scores(edges, max_middle_degree=2).collect()
     }
     assert (1, 3) not in capped  # both middles have degree 3
+
+
+def test_seeded_label_propagation_clusters_and_clamping(spark):
+    from motive_spark.kernels import seeded_label_propagation
+
+    # two triangles joined by one bridge edge; one seed per cluster
+    pairs = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    edges = edges_df(spark, pairs)
+    seeds = spark.createDataFrame([(0, 7), (12, 9)], "id long, label long")
+    out = {
+        r.id: r.label
+        for r in seeded_label_propagation(edges, seeds, iters=4).collect()
+    }
+    assert out[0] == 7 and out[12] == 9  # clamped
+    assert out[1] == 7  # spreads within the left triangle
+    assert out[11] == 9  # and the right one
+    # isolated pair never reached by any seed stays NULL
+    pairs2 = pairs + [(50, 51)]
+    out2 = {
+        r.id: r.label
+        for r in seeded_label_propagation(
+            edges_df(spark, pairs2), seeds, iters=3
+        ).collect()
+    }
+    assert out2[50] is None and out2[51] is None
