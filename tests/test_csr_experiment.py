@@ -205,3 +205,42 @@ def test_csr_superstep_join_is_exchange_free(spark):
     assert "ShuffledHashJoin" in plan
     csr.unpersist()
     zeros.unpersist()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count must
+    join with ZERO live exchanges — the co-location contract a 100-TB
+    pipeline relies on (bucket-pruned scan feeds SortMergeJoin/
+    ShuffledHashJoin directly)."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.tables import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # force the join path a 100-TB table takes: a big table never
+    # auto-broadcasts, so disable the small-table shortcut here
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    edges = edges_df(spark, random_pairs(100, 600, seed=44))
+    degs = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    write_bucketed(
+        edges.withColumnRenamed("src", "id"), "bt_edges", ["id"], 8,
+        sort_cols=["id"],
+    )
+    write_bucketed(degs, "bt_degs", ["id"], 8, sort_cols=["id"])
+    try:
+        joined = read_table(spark, "bt_edges").join(
+            read_table(spark, "bt_degs"), on="id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("InMemoryRelation")[0], plan
+        # and the result is right
+        want = {r.id: r.deg for r in degs.collect()}
+        got = joined.select("id", "deg").collect()
+        assert got and all(want[r.id] == r.deg for r in got)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_edges")
+        spark.sql("DROP TABLE IF EXISTS bt_degs")
