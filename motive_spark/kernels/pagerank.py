@@ -357,7 +357,16 @@ def personalized_pagerank(
 
     Same physical shape as the broadcast PageRank strategy: stationary
     cached edge table, broadcast rank vector, per-superstep lineage
-    truncation.  Returns (id, rank) summing to 1."""
+    truncation.  Returns (id, rank) summing to 1.
+
+    Seeds absent from the graph are ignored and the restart vector is
+    renormalized over the seeds actually PRESENT (s = 1/|seeds ∩ V|), so
+    the returned ranks always sum to 1; an empty seed list, or a seed
+    list fully disjoint from the graph, raises ValueError."""
+    if not seeds:
+        raise ValueError(
+            "personalized_pagerank requires at least one seed vertex"
+        )
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -370,9 +379,23 @@ def personalized_pagerank(
     outdeg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    seed_df = spark.createDataFrame(
-        [(int(s),) for s in sorted(set(seeds))], "id long"
-    ).withColumn("s", F.lit(1.0 / len(set(seeds))))
+    present = (
+        spark.createDataFrame(
+            [(int(s),) for s in sorted(set(seeds))], "id long"
+        )
+        .join(verts, on="id", how="leftsemi")
+        .cache()
+    )
+    n_present = present.count()
+    if n_present == 0:
+        if verts.limit(1).count() == 0:
+            e.unpersist()
+            present.unpersist()
+            return spark.createDataFrame([], "id long, rank double")
+        raise ValueError(
+            "personalized_pagerank: no seed vertex appears in the graph"
+        )
+    seed_df = present.withColumn("s", F.lit(1.0 / n_present))
     base = (
         verts.join(outdeg, on="id", how="left")
         .join(F.broadcast(seed_df), on="id", how="left")
@@ -435,4 +458,5 @@ def personalized_pagerank(
             ranks = new_ranks
     e.unpersist()
     base.unpersist()
+    present.unpersist()
     return ranks.select("id", "rank")

@@ -25,9 +25,23 @@ O(diameter) supersteps, the outer loop once per peeled SCC layer —
 small on real link graphs (bounded by the SCC-DAG depth of the
 remaining graph, not the SCC count: every root found in a round peels
 in that same round).
+
+Before each coloring round a TRIM pre-pass iteratively peels trivial
+SCCs — vertices with zero remaining in- OR out-degree are singleton
+components by definition (they can't sit on a cycle).  On link graphs
+the vast majority of vertices are trivial (leaf pages, dangling
+imports), so trimming removes them in a handful of cheap rounds
+(3 semi-joins + 1 count each) instead of paying a full forward+backward
+propagation per peel layer; it also bounds the coloring work to the
+cyclic remainder.  If the SCC-DAG is deeper than
+``max_outer`` (pathological chain-of-SCCs), the function now WARNS and
+returns a partial labeling (undetermined vertices carry scc = NULL)
+instead of raising after hours of work.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,9 +50,12 @@ from pyspark.sql import functions as F
 def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = 100,
+    max_trim_rounds: int = 200,
 ) -> DataFrame:
     """Returns (id, scc) over the directed simple graph; ``scc`` is the
-    smallest vertex id of the component."""
+    smallest vertex id of the component.  ``scc`` is NULL only when the
+    algorithm hit ``max_outer`` peel rounds before finishing (a warning
+    is emitted; the labeled prefix is exact)."""
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -59,6 +76,43 @@ def strongly_connected_components(
     rem_v, rem_e = verts, e
 
     for _ in range(max_outer):
+        # --- 0. trim: peel trivial (acyclic-position) vertices ----------
+        # a vertex missing from the remaining src set or the remaining
+        # dst set has no out- or no in-edges, so it is its own SCC
+        for _t in range(max_trim_rounds):
+            core = (
+                rem_e.select(F.col("src").alias("id"))
+                .distinct()
+                .join(
+                    rem_e.select(F.col("dst").alias("id")).distinct(),
+                    on="id",
+                    how="leftsemi",
+                )
+            )
+            trivial = rem_v.join(core, on="id", how="left_anti").localCheckpoint(
+                eager=True
+            )
+            if trivial.limit(1).count() == 0:
+                break
+            assigned_parts.append(
+                trivial.select("id", F.col("id").alias("scc"))
+            )
+            rem_v = rem_v.join(core, on="id", how="leftsemi").localCheckpoint(
+                eager=True
+            )
+            rem_e = (
+                rem_e.join(
+                    rem_v.withColumnRenamed("id", "src"),
+                    on="src",
+                    how="leftsemi",
+                )
+                .join(
+                    rem_v.withColumnRenamed("id", "dst"),
+                    on="dst",
+                    how="leftsemi",
+                )
+                .localCheckpoint(eager=True)
+            )
         n_rem = rem_v.count()
         if n_rem == 0:
             break
@@ -145,9 +199,24 @@ def strongly_connected_components(
             .join(rem_v.withColumnRenamed("id", "dst"), on="dst", how="leftsemi")
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError("SCC did not peel within max_outer rounds")
 
+    # completion is detected by rem_v emptiness AFTER the loop (a graph
+    # that fully peels on exactly the max_outer-th round is complete);
+    # anything left gets an honest NULL label + a warning, never a raise
+    if rem_v.limit(1).count() > 0:
+        warnings.warn(
+            "strongly_connected_components: SCC-DAG deeper than "
+            f"max_outer={max_outer}; returning a partial labeling "
+            "(undetermined vertices have scc=NULL)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        assigned_parts.append(
+            rem_v.select("id", F.lit(None).cast("long").alias("scc"))
+        )
+
+    if not assigned_parts:
+        return spark.createDataFrame([], "id long, scc long")
     out = assigned_parts[0]
     for p in assigned_parts[1:]:
         out = out.unionByName(p)

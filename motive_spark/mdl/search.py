@@ -293,17 +293,19 @@ def size_with_search(
 
                 hists, keyed = [], []
                 for ck, cutoff, r in beta_rows:
-                    if r["subbed_hist"] is None:  # max_rw-guarded
+                    # local-strategy rows are plain dicts whose max_rw guard
+                    # branch omits the hist keys entirely; distributed Rows
+                    # carry an explicit None — treat both as "no hist"
+                    sh = r.get("subbed_hist") if isinstance(r, dict) else r["subbed_hist"]
+                    if sh is None:  # max_rw-guarded
                         cache["beta"][(ck, cutoff)] = float("inf")
                         continue
                     if directed:
                         hists.append(
-                            {(int(a), int(b)): int(c) for a, b, c in r["subbed_hist"]}
+                            {(int(a), int(b)): int(c) for a, b, c in sh}
                         )
                     else:
-                        hists.append(
-                            {int(d): int(c) for d, c in r["subbed_hist"]}
-                        )
+                        hists.append({int(d): int(c) for d, c in sh})
                     keyed.append((ck, cutoff, float(r["common_bits"])))
                 vals = graph_beta_codelength_batch(
                     spark, hists, directed, beta_iterations, beta_alpha, seed

@@ -398,6 +398,82 @@ def test_scc_matches_tarjan(spark):
         }
 
 
+def test_scc_empty_and_deep_chain_and_partial(spark):
+    """SCC edge cases: empty input returns an empty frame (not
+    IndexError); a chain of singleton SCCs deeper than max_outer is
+    fully solved by the trim pre-pass; with trim disabled and too few
+    peel rounds the function warns and NULL-labels the remainder
+    instead of raising."""
+    import warnings as _w
+
+    from motive_spark.kernels import strongly_connected_components
+
+    # empty / edgeless
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "scc"]
+
+    # directed path of 61 singleton SCCs: SCC-DAG depth 61 > max_outer=3,
+    # but the trim pre-pass peels the whole thing without any coloring
+    chain = edges_df(spark, [(i, i + 1) for i in range(60)])
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(chain, max_outer=3).collect()
+    }
+    assert got == {i: i for i in range(61)}
+
+    # two cycle-SCCs in a chain, trim disabled, one peel round: the
+    # upstream cycle resolves, the downstream one is NULL + a warning
+    two = edges_df(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)],
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        part = {
+            r.id: r.scc
+            for r in strongly_connected_components(
+                two, max_outer=1, max_trim_rounds=0
+            ).collect()
+        }
+    assert any("partial labeling" in str(w.message) for w in rec)
+    assert part[0] == part[1] == part[2] == 0
+    assert part[3] is None and part[4] is None and part[5] is None
+
+    # same graph, defaults: exact
+    full = {
+        r.id: r.scc for r in strongly_connected_components(two).collect()
+    }
+    assert full == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_personalized_pagerank_seed_validation(spark):
+    """ADVICE fixes: empty seed list raises; seeds absent from the graph
+    are dropped with the restart vector renormalized over the present
+    ones, so ranks still sum to 1."""
+    import pytest as _pytest
+
+    from motive_spark.kernels import personalized_pagerank
+
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 0), (1, 3)])
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [])
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [99, 123])
+    # seed 0 present, seed 99 absent -> behaves exactly like seeds=[0]
+    mixed = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, [0, 99], max_iter=6).collect()
+    }
+    only = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, [0], max_iter=6).collect()
+    }
+    assert mixed == only
+    assert abs(sum(mixed.values()) - 1.0) < 1e-9
+
+
 def test_graph_metrics_known_values(spark):
     """LCC and assortativity on hand-computable graphs."""
     from motive_spark.graph import (
