@@ -564,7 +564,9 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-200 link-prediction candidates by Jaccard (rounded BEFORE
     ranking; ties by (u, v)) with common-neighbor and Adamic-Adar
-    scores."""
+    scores, under the kernel's DEFAULT auto hub cap (99.9th-percentile
+    middle-degree exclusion) — the oracle reproduces the cap from the
+    degree histogram with exact integer arithmetic."""
     from pyspark.sql import Window
 
     from motive_spark.graph import link_prediction_scores
@@ -716,8 +718,18 @@ GROUP BY src, dst HAVING COUNT(*) >= 2 ORDER BY src, dst""",
         "graph_link_prediction": (
             "WITH " + SQL_GRAPH + """,
 deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+hist AS (SELECT deg AS d, COUNT(*) AS c FROM deg GROUP BY 1),
+nv AS (SELECT COUNT(*) AS n FROM deg),
+-- the kernel's default auto hub cap: smallest degree d such that at
+-- most 0.1% of vertices have degree > d (exact integer arithmetic)
+capq AS (
+  SELECT MIN(d) AS cap FROM hist h, nv
+  WHERE (SELECT COALESCE(SUM(c), 0) FROM hist h2 WHERE h2.d > h.d) * 1000
+        <= nv.n
+),
 mid AS (SELECT e.src AS w, e.dst AS u, d.deg AS wdeg
-        FROM sym e JOIN deg d ON e.src = d.id),
+        FROM sym e JOIN deg d ON e.src = d.id, capq
+        WHERE d.deg <= capq.cap),
 pairs AS (
   SELECT a.u, b.u AS v, COUNT(*) AS common_neighbors,
          SUM(1.0 / ln(a.wdeg)) AS aa

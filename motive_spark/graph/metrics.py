@@ -112,22 +112,33 @@ def random_walks(
     walks_per_vertex: int = 2,
     seed: int = 42,
     directed: bool = False,
+    salt_chunk: int = 4096,
 ) -> DataFrame:
     """Deterministic random walks from every vertex — the node2vec /
     DeepWalk corpus generator for graph-embedding training data.
 
     Step t of walk (start, widx) picks neighbor index
     ``int(md5(start|widx|t|seed)[:8], 16) mod deg(cur)`` over the
-    SORTED neighbor list — md5 is byte-identical cross-engine, so the
-    DuckDB oracle replays the exact same walks.  Returns
+    SORTED global neighbor order — md5 is byte-identical cross-engine,
+    so the DuckDB oracle replays the exact same walks.  Returns
     (start, widx, path) with path as a '|'-joined id string; walks stop
     early at dead ends (directed graphs only).
 
-    Scale shape: one groupBy builds the adjacency lists (hub rows are
-    wide but single — the CSR salting caveat applies); each step is one
-    equi-join on the current vertex.  No driver-side anything.
+    Scale shape: the adjacency is the SALTED CSR block layout
+    (graph.csr.build_csr) — a hub's neighbors are split into chunks of
+    at most ``salt_chunk``, so no task ever materializes a 10^8-wide
+    row.  build_csr ranks each src's neighbors by dst, so chunk
+    ``salt`` holds exactly the sorted global positions
+    [salt*salt_chunk, (salt+1)*salt_chunk), and the walk resolves the
+    md5-chosen GLOBAL index i by equi-joining chunk ``i // salt_chunk``
+    and reading element ``i % salt_chunk`` — identical choice sequence
+    to a single sorted adjacency list, in two bounded-row equi-joins
+    per step (degree lookup + chunk lookup).  No driver-side anything.
     """
     spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from motive_spark.graph.csr import build_csr
+
     if directed:
         sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     else:
@@ -135,16 +146,23 @@ def random_walks(
         sym = und.select("src", "dst").unionAll(
             und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    adj = (
-        sym.dropDuplicates(["src", "dst"])
-        .groupBy("src")
-        .agg(
-            F.sort_array(F.collect_list("dst")).alias("nbrs"),
-            F.count(F.lit(1)).alias("deg"),
-        )
+    csr = build_csr(
+        sym.dropDuplicates(["src", "dst"]),
+        n_blocks=npart,
+        salt_chunk=salt_chunk,
+        partition_by="src",
+    ).cache()
+    # (vid, deg): one narrow row per vertex — salt rows all carry the
+    # same total out_deg, max() just collapses them
+    deg = (
+        csr.groupBy(F.col("src").alias("vid"))
+        .agg(F.max("out_deg").alias("deg"))
         .cache()
     )
-    verts = adj.select(F.col("src").alias("start"))
+    chunks = csr.select(
+        F.col("src").alias("csrc"), "salt", "dst_list"
+    )
+    verts = deg.select(F.col("vid").alias("start"))
     state = verts.select(
         "start",
         F.explode(
@@ -168,9 +186,21 @@ def random_walks(
             F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"),
             F.col("deg"),
         )
-        nxt = F.element_at("nbrs", (idx + 1).cast("int"))
+        st = state.join(deg, on=[state.cur == deg.vid], how="left").select(
+            "start",
+            "widx",
+            "cur",
+            "path",
+            F.floor(idx / salt_chunk).cast("int").alias("salt_sel"),
+            F.pmod(idx, F.lit(salt_chunk)).cast("int").alias("loc"),
+        )
+        nxt = F.element_at("dst_list", F.col("loc") + 1)
         state = (
-            state.join(adj, on=[state.cur == adj.src], how="left")
+            st.join(
+                chunks,
+                on=[st.cur == chunks.csrc, st.salt_sel == chunks.salt],
+                how="left",
+            )
             .select(
                 "start",
                 "widx",
@@ -181,7 +211,8 @@ def random_walks(
             )
             .localCheckpoint(eager=True)
         )
-    adj.unpersist()
+    csr.unpersist()
+    deg.unpersist()
     return state.select(
         "start",
         "widx",
@@ -194,7 +225,7 @@ def random_walks(
 def link_prediction_scores(
     edges: DataFrame,
     min_common: int = 1,
-    max_middle_degree: int | None = None,
+    max_middle_degree: int | None | str = "auto",
 ) -> DataFrame:
     """Classic link-prediction scores for every vertex pair with at
     least ``min_common`` common neighbors (u < v):
@@ -205,17 +236,49 @@ def link_prediction_scores(
       is_edge           whether (u, v) is already an edge
 
     One wedge self-join on the middle vertex + one aggregation.  Hub
-    middles blow up quadratically (deg^2 wedge pairs); at scale pass
-    ``max_middle_degree`` to cap them — the standard approximation, and
-    the same skew lever the triangle kernel's degree orientation uses.
+    middles blow up quadratically (deg^2 wedge pairs), so by DEFAULT
+    (``max_middle_degree="auto"``) the top ~0.1% highest-degree
+    vertices are excluded as middles: the cap is the smallest degree d
+    with ``1000 * |{v : deg(v) > d}| <= |V|`` — a deterministic,
+    integer-arithmetic 99.9th-percentile computed from the degree
+    HISTOGRAM (one tiny single-partition window over distinct degree
+    values, never a sort of V), so the DuckDB oracle reproduces it
+    exactly and a first-time caller at web scale cannot trigger a
+    runaway deg^2 shuffle.  On graphs under 1000 vertices the cap
+    excludes nothing.  Pass an int to cap explicitly, or ``None`` to
+    opt out (exact scores, hub wedges included — the recall trade is
+    yours).
     """
+    from pyspark.sql import Window
+
     und = undirect(edges)
     sym = und.select("src", "dst").unionAll(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = degrees(und.select("src", "dst"), directed=False)
     mid = sym.join(deg.withColumnRenamed("id", "src"), on="src")
-    if max_middle_degree is not None:
+    if max_middle_degree == "auto":
+        hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(F.desc("deg")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cap_df = (
+            hist.select(
+                "deg",
+                F.coalesce(F.sum("c").over(w), F.lit(0)).alias("above"),
+            )
+            .crossJoin(
+                F.broadcast(deg.agg(F.count(F.lit(1)).alias("nv")))
+            )
+            .where(F.col("above") * 1000 <= F.col("nv"))
+            .agg(F.min("deg").alias("cap"))
+        )
+        mid = (
+            mid.crossJoin(F.broadcast(cap_df))
+            .where(F.col("deg") <= F.col("cap"))
+            .drop("cap")
+        )
+    elif max_middle_degree is not None:
         mid = mid.where(F.col("deg") <= max_middle_degree)
     a = mid.select(
         F.col("src").alias("w"), F.col("dst").alias("u"), F.col("deg").alias("wdeg")

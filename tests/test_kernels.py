@@ -8,6 +8,7 @@ import math
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import (
     edges_df,
@@ -651,6 +652,71 @@ def test_link_prediction_scores_known_graph(spark):
         for r in link_prediction_scores(edges, max_middle_degree=2).collect()
     }
     assert (1, 3) not in capped  # both middles have degree 3
+
+
+def test_random_walks_salted_csr_bounds_hub_rows(spark):
+    """The walk adjacency is the salted CSR layout: a hub's neighbor
+    chunks never exceed salt_chunk, and the walk sequence is identical
+    to the unsalted (single-chunk) run — prefix-indexed chunks preserve
+    the global sorted neighbor order."""
+    from motive_spark.graph import random_walks
+    from motive_spark.graph.csr import build_csr
+
+    # star hub 0 with 40 leaves + a cycle among high ids
+    pairs = [(0, i) for i in range(1, 41)] + [(50, 51), (51, 52), (52, 50)]
+    edges = edges_df(spark, pairs)
+
+    # row-width bound on the layout the walk uses (symmetrized graph)
+    sym = edges.unionAll(edges.selectExpr("dst as src", "src as dst"))
+    widths = [
+        r.w
+        for r in build_csr(sym, salt_chunk=8, partition_by="src")
+        .selectExpr("size(dst_list) as w")
+        .collect()
+    ]
+    assert max(widths) <= 8 and len(widths) > 44  # hub split into chunks
+
+    salted = {
+        (r.start, r.widx): r.path
+        for r in random_walks(
+            edges, walk_length=5, walks_per_vertex=2, seed=11, salt_chunk=8
+        ).collect()
+    }
+    single = {
+        (r.start, r.widx): r.path
+        for r in random_walks(
+            edges, walk_length=5, walks_per_vertex=2, seed=11,
+            salt_chunk=1_000_000,
+        ).collect()
+    }
+    assert salted == single
+    # hub walks actually leave the hub (index resolution across chunks)
+    assert any(p.split("|")[1] != "0" for (s, _), p in salted.items() if s == 0)
+
+
+def test_link_prediction_default_hub_cap(spark):
+    """Default max_middle_degree='auto' excludes ~0.1%-tail hub middles
+    on graphs >= 1000 vertices; None opts out; small graphs uncapped."""
+    from motive_spark.graph import link_prediction_scores
+
+    # hub 0 -> 1200 leaves, plus two triangles among high ids
+    pairs = [(0, i) for i in range(1, 1201)] + [
+        (2000, 2001), (2001, 2002), (2002, 2000),
+        (2000, 2003), (2003, 2001),
+    ]
+    edges = edges_df(spark, pairs)
+    # default: the hub (the only vertex with >0.1%-tail degree) is not a
+    # middle, so no leaf-leaf pair survives; triangle wedges remain
+    capped = link_prediction_scores(edges).cache()
+    leaf_pairs = capped.where((F.col("u") >= 1) & (F.col("v") <= 1200)).count()
+    assert leaf_pairs == 0
+    assert capped.where(F.col("u") >= 2000).count() > 0
+    capped.unpersist()
+    # opt-out: hub wedges reappear (C(1200,2) leaf pairs)
+    uncapped = link_prediction_scores(edges, max_middle_degree=None)
+    assert uncapped.where(
+        (F.col("u") >= 1) & (F.col("v") <= 1200)
+    ).count() == 1200 * 1199 // 2
 
 
 def test_seeded_label_propagation_clusters_and_clamping(spark):
