@@ -938,10 +938,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from motive_spark.datapipe import detect_language
+    """Hashed char-trigram NB language ID (integer-quantized weights, so
+    both engines compute the exact same argmax)."""
+    from motive_spark.datapipe import detect_language_ngram
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return detect_language(docs).orderBy("doc_id")
+    return detect_language_ngram(docs).orderBy("doc_id")
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,27 +1298,45 @@ def _count_token_sql(token: str) -> str:
 
 
 def _langid_sql() -> str:
-    from motive_spark.datapipe.text import LANG_MARKERS
+    """Hashed char-trigram NB language ID in DuckDB: the same padded
+    trigram -> md5-hash bucket -> integer weight-sum -> strict-> argmax
+    fold as datapipe.detect_language_ngram — integer quantization makes
+    the scores exact in both engines regardless of summation order."""
+    from motive_spark.datapipe.langid_model import LANGS, N_BUCKETS, WEIGHTS
 
-    cnt_exprs = {
-        lang: " + ".join(_count_token_sql(w) for w in words)
-        for lang, words in LANG_MARKERS.items()
-    }
-    sel = ", ".join(f"({e}) AS c_{lang}" for lang, e in cnt_exprs.items())
-    best = "'und'"
-    best_cnt = "CAST(0 AS BIGINT)"
-    for lang in sorted(LANG_MARKERS):
-        best = f"CASE WHEN c_{lang} > {best_cnt} THEN '{lang}' ELSE {best} END"
-        best_cnt = f"CASE WHEN c_{lang} > GREATEST({best_cnt}) THEN c_{lang} ELSE {best_cnt} END"
-    # build iteratively to mirror the Spark fold exactly
-    lines = ["WITH c AS (SELECT doc_id, " + sel + " FROM documents)"]
-    expr_best = "'und'"
-    expr_cnt = "CAST(0 AS BIGINT)"
-    for lang in sorted(LANG_MARKERS):
-        expr_best = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN '{lang}' ELSE ({expr_best}) END"
-        expr_cnt = f"CASE WHEN c_{lang} > ({expr_cnt}) THEN c_{lang} ELSE ({expr_cnt}) END"
-    lines.append(f"SELECT doc_id, {expr_best} AS pred_lang FROM c ORDER BY doc_id")
-    return "\n".join(lines)
+    w_defs = ",\n".join(
+        f"  w_{lang} AS (SELECT {WEIGHTS[lang]!r} AS w)".replace("'", "")
+        for lang in LANGS
+    )
+    score_sel = ",\n".join(
+        f"    list_sum(list_transform(bk, b -> w_{lang}.w[CAST(b + 1 AS INT)]))"
+        f" AS s_{lang}"
+        for lang in LANGS
+    )
+    w_from = ", ".join(f"w_{lang}" for lang in LANGS)
+    expr_best = f"'{LANGS[0]}'"
+    expr_s = f"s_{LANGS[0]}"
+    for lang in LANGS[1:]:  # later wins only on strict >, as in Spark
+        expr_best = f"CASE WHEN s_{lang} > ({expr_s}) THEN '{lang}' ELSE ({expr_best}) END"
+        expr_s = f"CASE WHEN s_{lang} > ({expr_s}) THEN s_{lang} ELSE ({expr_s}) END"
+    return f"""WITH
+{w_defs},
+t AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(
+      range(1, GREATEST(length(p) - 2, 1) + 1),
+      i -> ('0x' || substr(md5(substr(p, CAST(i AS INT), 3)), 1, 4))::BIGINT
+           % {N_BUCKETS}
+    ) AS bk
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+{score_sel}
+  FROM g, {w_from}
+)
+SELECT doc_id, {expr_best} AS pred_lang FROM s ORDER BY doc_id"""
 
 
 _DATAPIPE_QUERIES = {

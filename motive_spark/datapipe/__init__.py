@@ -12,6 +12,7 @@ from motive_spark.datapipe.similarity import (
 )
 from motive_spark.datapipe.text import (
     detect_language,
+    detect_language_ngram,
     document_fingerprint,
     gopher_quality_filter,
     quality_scores,
@@ -30,6 +31,7 @@ __all__ = [
     "token_stats",
     "quality_scores",
     "detect_language",
+    "detect_language_ngram",
     "gopher_quality_filter",
     "document_fingerprint",
 ]

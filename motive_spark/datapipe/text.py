@@ -103,6 +103,55 @@ def detect_language(docs: DataFrame) -> DataFrame:
     return out
 
 
+def detect_language_ngram(docs: DataFrame) -> DataFrame:
+    """Hashed char-trigram language ID (fastText-style linear model,
+    public technique — see langid_train.py for the in-repo trainer).
+
+    (doc_id, pred_lang): argmax over languages of the integer NB score
+    sum_{grams} W[lang][bucket(gram)], buckets = md5-hashed trigrams of
+    the space-padded text.  Everything is pure built-in expressions —
+    one transform to grams/buckets, one integer aggregate per language
+    (zero shuffle, whole-stage codegen) — and the integer quantization
+    makes the score order-independent, so the DuckDB oracle replays it
+    exactly.  Ties break to the alphabetically-first language."""
+    from motive_spark.datapipe.langid_model import LANGS, N_BUCKETS, WEIGHTS
+
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    base = docs.select("doc_id", padded.alias("p"))
+    p = F.col("p")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(p) - 2, F.lit(1)))
+    buckets = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.conv(
+                F.substring(F.md5(F.substr(p, i, F.lit(3))), 1, 4), 16, 10
+            ).cast("long"),
+            F.lit(N_BUCKETS),
+        ),
+    )
+    scored = base.select("doc_id", buckets.alias("bk"))
+
+    def lang_score(w):  # closure: Spark lambdas must take exactly 2 args
+        return F.aggregate(
+            F.col("bk"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(w, (b + 1).cast("int")),
+        )
+
+    score_cols = [
+        lang_score(F.lit(WEIGHTS[lang])).alias(f"s_{lang}") for lang in LANGS
+    ]
+    scored = scored.select("doc_id", *score_cols)
+    best = F.lit(LANGS[0])
+    best_s = F.col(f"s_{LANGS[0]}")
+    for lang in LANGS[1:]:  # later wins only on strict >
+        c = F.col(f"s_{lang}")
+        is_better = c > best_s
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_s = F.when(is_better, c).otherwise(best_s)
+    return scored.select("doc_id", best.alias("pred_lang"))
+
+
 def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFrame:
     """Min-k rolling fingerprint: md5 of each ``gram``-word window, keep
     the k lexicographically smallest — a winnowing-style content sketch

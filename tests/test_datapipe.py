@@ -285,3 +285,41 @@ def test_gopher_filter_rules(spark):
     assert not out[2].rule_word_len and not out[2].passes
     assert not out[3].rule_symbols and not out[3].passes
     assert not out[4].rule_repetition and not out[4].passes
+
+
+def test_detect_language_ngram_heldout_accuracy(spark):
+    """Hashed char-trigram NB classifier: >=95% on held-out seeded docs
+    (a different seed than training), and bit-identical to the
+    pure-python scorer — the integer-quantization exactness contract."""
+    from motive_spark.datapipe import detect_language_ngram
+    from motive_spark.datapipe.langid_train import (
+        LANGS,
+        py_score,
+        synthetic_docs,
+        train,
+    )
+
+    rows, want = [], {}
+    i = 0
+    for lang in LANGS:
+        for doc in synthetic_docs(lang, 25, seed=99):  # train() used seed=13
+            rows.append((i, doc))
+            want[i] = lang
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in detect_language_ngram(df).collect()}
+    acc = sum(got[k] == v for k, v in want.items()) / len(want)
+    assert acc >= 0.95, acc
+    weights = train()
+    assert all(got[k] == py_score(txt, weights) for k, txt in rows)
+
+
+def test_langid_model_regenerable():
+    """The committed weights module is exactly what the trainer
+    produces (guards against hand-edits / drift)."""
+    from motive_spark.datapipe import langid_model
+    from motive_spark.datapipe.langid_train import LANGS, N_BUCKETS, train
+
+    assert langid_model.LANGS == LANGS
+    assert langid_model.N_BUCKETS == N_BUCKETS
+    assert langid_model.WEIGHTS == train()
