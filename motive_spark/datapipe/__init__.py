@@ -10,6 +10,17 @@ from motive_spark.datapipe.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from motive_spark.datapipe.multimodal import (
+    attach_binary_payload,
+    attach_image_payload,
+    byte_histogram_features,
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    frame_sample_plan,
+    image_stats_features,
+    resize_payload,
+)
 from motive_spark.datapipe.text import (
     detect_language,
     detect_language_ngram,
@@ -34,4 +45,13 @@ __all__ = [
     "detect_language_ngram",
     "gopher_quality_filter",
     "document_fingerprint",
+    "attach_binary_payload",
+    "attach_image_payload",
+    "byte_histogram_features",
+    "decode_image",
+    "encode_ppm",
+    "encode_bmp",
+    "image_stats_features",
+    "resize_payload",
+    "frame_sample_plan",
 ]

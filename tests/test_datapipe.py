@@ -204,7 +204,7 @@ def test_multimodal_plumbing(docs):
     }
     plan = frame_sample_plan(table, every_n=2)
     assert plan.count() >= 20
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # compressed formats stay opaque
         decode_image(b"\x89PNG")
 
 
@@ -323,3 +323,60 @@ def test_langid_model_regenerable():
     assert langid_model.LANGS == LANGS
     assert langid_model.N_BUCKETS == N_BUCKETS
     assert langid_model.WEIGHTS == train()
+
+
+def test_image_codec_roundtrip_and_real_resize(docs, spark):
+    """Pure-numpy PPM/PGM/BMP codec: encode->decode is exact; the Spark
+    resize path decodes real pixels and nearest-neighbor subsamples
+    them; featurize returns exact pixel statistics."""
+    import numpy as np
+
+    from motive_spark.datapipe import (
+        attach_image_payload,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        image_stats_features,
+        resize_payload,
+    )
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert (decode_image(encode_ppm(rgb)) == rgb).all()
+    assert (decode_image(encode_ppm(gray)) == gray).all()
+    assert (decode_image(encode_bmp(rgb)) == rgb).all()  # padding+BGR+flip
+    # header comments and multi-whitespace are tolerated
+    hdr = b"P6\n# comment line\n 17\t13 \n255\n" + rgb.tobytes()
+    assert (decode_image(hdr) == rgb).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+
+    # Spark path: synthetic image table -> resize -> decode matches numpy
+    imgs = attach_image_payload(docs.limit(4), width=24, height=16)
+    resized = {r.doc_id: r for r in resize_payload(imgs, factor=4).collect()}
+    orig = {r.doc_id: r for r in imgs.collect()}
+    for did, row in resized.items():
+        full = decode_image(bytes(orig[did].payload))
+        small = decode_image(bytes(row.payload))
+        assert (small == full[::4, ::4]).all()
+        assert row.meta.format == "image/ppm;resized/4"
+        assert row.meta.n_bytes == len(bytes(row.payload))
+
+    # featurize: exact per-channel means + luminance histogram
+    feats = {r.doc_id: r for r in image_stats_features(imgs).collect()}
+    for did, row in feats.items():
+        img = decode_image(bytes(orig[did].payload)).reshape(-1, 3).astype(float)
+        assert (row.width, row.height) == (24, 16)
+        want_mean = img.mean(axis=0)
+        got = row.features
+        assert np.allclose(got[:3], want_mean, atol=1e-4)
+        assert abs(sum(got[6:14]) - 1.0) < 1e-5
+
+    # undecodable payloads -> NULL features (mixed-corpus contract)
+    from motive_spark.datapipe import attach_binary_payload
+
+    opaque = image_stats_features(attach_binary_payload(docs.limit(3)))
+    assert opaque.where("features IS NOT NULL").count() == 0
