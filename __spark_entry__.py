@@ -1297,6 +1297,67 @@ def _count_token_sql(token: str) -> str:
     )
 
 
+def _gopher_sql() -> str:
+    """Full Gopher rule battery, mirroring
+    datapipe.gopher_quality_filter expression-for-expression (the
+    alphabetic-word test is lower(w) <> upper(w) in both engines — no
+    regex semantics cross the boundary)."""
+    from motive_spark.datapipe.text import STOPWORD_RULE_WORDS
+
+    n_stop = " + ".join(
+        f"(CASE WHEN {_count_token_sql(w)} > 0 THEN 1 ELSE 0 END)"
+        for w in STOPWORD_RULE_WORDS
+    )
+    rules = {
+        "rule_word_count": "(n_words >= 20 AND n_words <= 100000)",
+        "rule_word_len": "(n_alpha * 1.0 / n_words >= 3.0 AND n_alpha * 1.0 / n_words <= 10.0)",
+        "rule_symbols": "(n_symbols * 1.0 / n_words <= 0.1)",
+        "rule_repetition": "(n_distinct * 1.0 / n_words >= 0.3)",
+        "rule_bullets": "(n_bullets * 1.0 / n_lines <= 0.9)",
+        "rule_ellipsis": "(n_ellipsis * 1.0 / n_lines <= 0.3)",
+        "rule_stopwords": "(n_stop >= 2)",
+        "rule_dup_lines": "(1.0 - n_dlines * 1.0 / n_lines <= 0.3)",
+        "rule_alpha_words": "(n_alpha_words * 1.0 / n_words >= 0.8)",
+    }
+    rule_sel = ",\n  ".join(f"{e} AS {n}" for n, e in rules.items())
+    passes = " AND ".join(rules.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(replace(text, ' ', '')) AS n_alpha,
+         len(string_split_regex(text, '[^A-Za-z0-9\\s]+')) - 1 AS n_symbols,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, ' ') AS toks,
+         ({n_stop}) AS n_stop
+  FROM documents
+),
+u AS (
+  SELECT doc_id, n_words, n_alpha, n_symbols, n_distinct, n_stop,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> substr(l, 1, 2) IN ('- ', '* ')
+                                     OR substr(l, 1, 1) = '•')) AS n_bullets,
+         len(list_filter(lines, l -> right(l, 3) = '...'
+                                     OR right(l, 1) = '…')) AS n_ellipsis,
+         len(list_distinct(lines)) AS n_dlines,
+         len(list_filter(toks, w -> lower(w) <> upper(w))) AS n_alpha_words
+  FROM t
+)
+SELECT doc_id, n_words,
+  ROUND(n_alpha * 1.0 / n_words, 6) AS mean_word_len,
+  ROUND(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
+  ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+  ROUND(n_bullets * 1.0 / n_lines, 6) AS bullet_ratio,
+  ROUND(n_ellipsis * 1.0 / n_lines, 6) AS ellipsis_ratio,
+  CAST(n_stop AS INT) AS n_stopwords,
+  ROUND(1.0 - n_dlines * 1.0 / n_lines, 6) AS dup_line_ratio,
+  ROUND(n_alpha_words * 1.0 / n_words, 6) AS alpha_ratio,
+  {rule_sel},
+  ({passes}) AS passes
+FROM u ORDER BY doc_id"""
+
+
 def _langid_sql() -> str:
     """Hashed char-trigram NB language ID in DuckDB: the same padded
     trigram -> md5-hash bucket -> integer weight-sum -> strict-> argmax
@@ -1498,28 +1559,7 @@ _DATAPIPE_ORACLES = {
 SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
-    "text_gopher": """
-WITH t AS (
-  SELECT doc_id,
-         len(string_split(text, ' ')) AS n_words,
-         length(replace(text, ' ', '')) AS n_alpha,
-         len(string_split_regex(text, '[^A-Za-z0-9\\s]+')) - 1 AS n_symbols,
-         len(list_distinct(string_split(text, ' '))) AS n_distinct
-  FROM documents
-)
-SELECT doc_id, n_words,
-  ROUND(n_alpha * 1.0 / n_words, 6) AS mean_word_len,
-  ROUND(n_symbols * 1.0 / n_words, 6) AS symbol_ratio,
-  ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
-  (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
-  (n_alpha * 1.0 / n_words >= 3.0 AND n_alpha * 1.0 / n_words <= 10.0) AS rule_word_len,
-  (n_symbols * 1.0 / n_words <= 0.1) AS rule_symbols,
-  (n_distinct * 1.0 / n_words >= 0.3) AS rule_repetition,
-  ((n_words >= 20 AND n_words <= 100000)
-   AND (n_alpha * 1.0 / n_words >= 3.0 AND n_alpha * 1.0 / n_words <= 10.0)
-   AND (n_symbols * 1.0 / n_words <= 0.1)
-   AND (n_distinct * 1.0 / n_words >= 0.3)) AS passes
-FROM t ORDER BY doc_id""",
+    "text_gopher": _gopher_sql(),
 
     # byte-exact featurizer contract: blob bytes recovered from hex()
     # digit pairs (strpos over '123456789ABCDEF' maps '0'->0 .. 'F'->15),

@@ -174,6 +174,9 @@ def document_fingerprint(docs: DataFrame, gram: int = 5, k: int = 4) -> DataFram
     )
 
 
+STOPWORD_RULE_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     min_words: int = 20,
@@ -182,18 +185,30 @@ def gopher_quality_filter(
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
     min_distinct_ratio: float = 0.3,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stopwords: int = 2,
+    max_dup_line_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
 ) -> DataFrame:
-    """Gopher-style document filter rules (Rae et al. 2021, public
-    literature), as pure column expressions over whitespace tokens:
+    """The full Gopher document-filter battery (Rae et al. 2021 §A1.1,
+    public literature), as pure column expressions over whitespace
+    tokens and newline-split lines:
 
       R1 word count within [min_words, max_words]
       R2 mean word length within [min_mean_word_len, max_mean_word_len]
-      R3 symbol-to-word ratio (#, …, non-alnum runs) <= max_symbol_ratio
+      R3 symbol-to-word ratio (non-alnum runs) <= max_symbol_ratio
       R4 distinct-word ratio >= min_distinct_ratio (repetition guard)
+      R5 bullet-point line ratio <= max_bullet_ratio
+      R6 ellipsis-terminated line ratio <= max_ellipsis_ratio
+      R7 at least min_stopwords distinct common stop words present
+      R8 duplicate-line fraction <= max_dup_line_ratio
+      R9 fraction of words with >=1 alphabetic char >= min_alpha_ratio
 
     Returns per-doc rule values, each rule's boolean, and ``passes`` =
     AND of all rules — the shape a pretraining pipeline filters on.
-    """
+    Every expression is cross-engine deterministic (the alphabetic-char
+    test is ``lower(w) != upper(w)`` — no regex divergence)."""
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks)
     mean_len = (
@@ -202,19 +217,69 @@ def gopher_quality_filter(
     n_symbols = F.size(F.split(F.col("text"), r"[^A-Za-z0-9\s]+")) - 1
     sym_ratio = n_symbols / n_words
     distinct_ratio = F.size(F.array_distinct(toks)) / n_words
+
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(l, 1, 2).isin("- ", "* ")
+                | (F.substring(l, 1, 1) == "•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: (F.right(l, F.lit(3)) == "...")
+                | (F.right(l, F.lit(1)) == "…"),
+            )
+        )
+        / n_lines
+    )
+    n_stop = sum(
+        (
+            F.when(_count_token(F.col("text"), w) > 0, 1).otherwise(0)
+            for w in STOPWORD_RULE_WORDS
+        ),
+        F.lit(0),
+    )
+    dup_line_ratio = 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: F.lower(t) != F.upper(t))) / n_words
+    )
+
     r1 = (n_words >= min_words) & (n_words <= max_words)
     r2 = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
     r3 = sym_ratio <= max_symbol_ratio
     r4 = distinct_ratio >= min_distinct_ratio
+    r5 = bullet_ratio <= max_bullet_ratio
+    r6 = ellipsis_ratio <= max_ellipsis_ratio
+    r7 = n_stop >= min_stopwords
+    r8 = dup_line_ratio <= max_dup_line_ratio
+    r9 = alpha_ratio >= min_alpha_ratio
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(dup_line_ratio, 6).alias("dup_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
         r1.alias("rule_word_count"),
         r2.alias("rule_word_len"),
         r3.alias("rule_symbols"),
         r4.alias("rule_repetition"),
-        (r1 & r2 & r3 & r4).alias("passes"),
+        r5.alias("rule_bullets"),
+        r6.alias("rule_ellipsis"),
+        r7.alias("rule_stopwords"),
+        r8.alias("rule_dup_lines"),
+        r9.alias("rule_alpha_words"),
+        (r1 & r2 & r3 & r4 & r5 & r6 & r7 & r8 & r9).alias("passes"),
     )

@@ -271,20 +271,42 @@ def test_ivf_topk_recall_and_cell_partition(emb):
 def test_gopher_filter_rules(spark):
     from motive_spark.datapipe import gopher_quality_filter
 
+    good = "the deal and most of councils " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    bullets = "\n".join(f"- the point {i} and more of it" for i in range(20))
+    dots = "\n".join(f"the thing and of number {i}..." for i in range(20))
+    duplines = "\n".join(["the same line and of it"] * 9 + ["one more the of"])
+    numeric = "the of " + " ".join(str(i) for i in range(60))
     rows = [
-        (0, " ".join(f"word{i}" for i in range(50))),            # passes
-        (1, "too short"),                                        # R1 fails
-        (2, " ".join(["a"] * 60)),                               # R2+R4 fail
-        (3, " ".join(["@@@#!"] * 60)),                           # R3 fails (symbols)
-        (4, " ".join(["same"] * 60)),                            # R4 fails
+        (0, good),                                    # passes all nine
+        (1, "too short"),                             # R1 fails
+        (2, " ".join(["a"] * 60)),                    # R2+R4 fail
+        (3, " ".join(["@@@#!"] * 60)),                # R3 fails (symbols)
+        (4, " ".join(["same"] * 60)),                 # R4 fails
+        (5, bullets),                                 # R5 fails (all bullets)
+        (6, dots),                                    # R6 fails (ellipses)
+        (7, " ".join(f"w{i}" for i in range(40))),    # R7 fails (no stopwords)
+        (8, duplines),                                # R8 fails (dup lines)
+        (9, numeric),                                 # R9 fails (digit words)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
-    assert out[0].passes
+    assert out[0].passes and out[0].n_stopwords >= 2
     assert not out[1].rule_word_count and not out[1].passes
     assert not out[2].rule_word_len and not out[2].passes
     assert not out[3].rule_symbols and not out[3].passes
     assert not out[4].rule_repetition and not out[4].passes
+    assert out[5].bullet_ratio == 1.0
+    assert not out[5].rule_bullets and not out[5].passes
+    assert out[6].ellipsis_ratio == 1.0
+    assert not out[6].rule_ellipsis and not out[6].passes
+    assert out[7].n_stopwords == 0
+    assert not out[7].rule_stopwords and not out[7].passes
+    assert out[8].dup_line_ratio == 0.8
+    assert not out[8].rule_dup_lines and not out[8].passes
+    assert out[9].alpha_ratio < 0.8
+    assert not out[9].rule_alpha_words and not out[9].passes
 
 
 def test_detect_language_ngram_heldout_accuracy(spark):
