@@ -1400,6 +1400,19 @@ s AS (
 SELECT doc_id, {expr_best} AS pred_lang FROM s ORDER BY doc_id"""
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming prefix-fingerprint dedup groups: readStream
+    over documents.parquet, stateful complete-mode aggregation drained
+    by an availableNow trigger through a foreachBatch parquet sink —
+    the streaming tier's cross-engine gate (the result is independent
+    of batch arrival order, so DuckDB replays it as a plain GROUP BY)."""
+    from motive_spark.streaming import stream_prefix_dedup_groups
+
+    return stream_prefix_dedup_groups(
+        spark, f"{sf_dir}/documents.parquet", n_prefix_tokens=3
+    ).orderBy("content_key")
+
+
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1418,6 +1431,7 @@ _DATAPIPE_QUERIES = {
     "motif_triad_census": q_motif_triad_census,
     "motif_k3_er_factors": q_motif_k3_er_factors,
     "motif_planted_factors": q_motif_planted_factors,
+    "stream_dedup": q_stream_dedup,
 }
 
 
@@ -1589,6 +1603,12 @@ FROM pay p LEFT JOIN counts USING (doc_id)
 GROUP BY p.doc_id, p.n ORDER BY p.doc_id""",
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
+    # streaming drain == batch GROUP BY: same key, same aggregates
+    "stream_dedup": """
+SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_key,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 ORDER BY 1""",
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

@@ -1,6 +1,7 @@
 from motive_spark.streaming.ingest import (
     running_degrees_stream,
     stream_dedup_docs,
+    stream_prefix_dedup_groups,
     stream_edges,
     windowed_edge_counts,
 )
@@ -10,4 +11,5 @@ __all__ = [
     "windowed_edge_counts",
     "running_degrees_stream",
     "stream_dedup_docs",
+    "stream_prefix_dedup_groups",
 ]

@@ -117,6 +117,75 @@ def running_degrees_stream(edges: DataFrame) -> DataFrame:
     )
 
 
+def stream_prefix_dedup_groups(
+    spark: SparkSession,
+    input_path: str,
+    n_prefix_tokens: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming prefix-fingerprint dedup GROUPS, drained exactly-once.
+
+    readStream over a parquet path of (doc_id, text, ...) docs; the
+    dedup key is md5 of the first ``n_prefix_tokens`` whitespace tokens
+    (the prefix-fingerprint trick pretraining pipelines use for
+    boilerplate families); a stateful complete-mode aggregation keeps
+    (n_docs, keeper = min doc_id) per key across micro-batches, an
+    ``availableNow`` trigger drains the backlog exactly once, and
+    foreachBatch overwrites a parquet sink with the final state.
+    Returns the finished static DataFrame
+    (content_key, n_docs, keeper_doc_id) — deterministic regardless of
+    file/batch arrival order, so the DuckDB oracle replays it as a
+    plain GROUP BY (the streaming tier's cross-engine gate).
+
+    State is bounded by #distinct keys; for UNBOUNDED streams the
+    watermark-bounded ``stream_dedup_docs`` below is the scale path —
+    this runner is the batch-drain/backfill shape.
+    """
+    import os
+    import tempfile
+
+    schema = spark.read.parquet(input_path).schema
+    if os.path.isfile(input_path):
+        # the file stream source requires a DIRECTORY basePath; expose a
+        # single-file input through a symlinked temp dir (no data copy)
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(
+            os.path.abspath(input_path),
+            os.path.join(d, os.path.basename(input_path)),
+        )
+        input_path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # forces a multi-micro-batch drain (state correctness across
+        # batches is pinned by test_streaming)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    key = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, n_prefix_tokens))
+    )
+    agg = stream.groupBy(key.alias("content_key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # complete mode: each epoch carries the full state; the last
+        # overwrite is the final table
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_dedup_docs(
     docs: DataFrame,
     watermark: str = "10 minutes",

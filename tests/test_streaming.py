@@ -222,3 +222,58 @@ def test_stream_dedup_docs_across_batches(spark, tmp_path):
     drain()
     got = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
     assert got == ["alpha", "beta", "gamma"], got
+
+
+def test_stream_prefix_dedup_groups_matches_batch(spark, tmp_path):
+    """The streaming drain (complete-mode stateful agg + availableNow +
+    foreachBatch parquet sink) equals the batch GROUP BY, including when
+    the backlog arrives as MULTIPLE micro-batches, and single-file
+    inputs work through the symlink shim."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.streaming import stream_prefix_dedup_groups
+
+    rows = [
+        (0, "alpha beta gamma tail zero"),
+        (1, "alpha beta gamma other words here"),   # same 3-token prefix as 0
+        (2, "delta epsilon zeta body"),
+        (3, "alpha beta gamma third copy"),          # same prefix again
+        (4, "eta theta iota distinct"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    # two separate files -> two micro-batches under maxFilesPerTrigger=1
+    df.where("doc_id < 2").coalesce(1).write.parquet(src)
+    df.where("doc_id >= 2").coalesce(1).write.mode("append").parquet(src)
+
+    got = {
+        r.content_key: (r.n_docs, r.keeper_doc_id)
+        for r in stream_prefix_dedup_groups(
+            spark, src, max_files_per_trigger=1
+        ).collect()
+    }
+    want = {
+        r.content_key: (r.n_docs, r.keeper_doc_id)
+        for r in df.groupBy(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.split("text", " "), 1, 3))
+            ).alias("content_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert sorted(v[0] for v in got.values()) == [1, 1, 3]
+
+    # single-file path (the driver-testdata layout)
+    one = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+    single = {
+        r.content_key: (r.n_docs, r.keeper_doc_id)
+        for r in stream_prefix_dedup_groups(
+            spark, os.path.join(src, one)
+        ).collect()
+    }
+    assert len(single) >= 1 and all(v[0] >= 1 for v in single.values())
