@@ -40,11 +40,19 @@ def connected_components(
     resume: bool = False,
     big_star: bool = True,
     strategy: str = "auto",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Returns (id, component) — component = min vertex id reachable.
 
     ``edges`` is treated as undirected.  ``fixed_iters`` runs exactly
     that many supersteps without a convergence check (oracle mode).
+
+    ``pre_partitioned=True`` declares ``edges`` is ALREADY symmetrized,
+    self-loop-free, deduped, and hash-distributed on ``dst`` (e.g. a
+    ``tables.write_bucketed(sym, ..., ["dst"], npart)`` table): the
+    kernel skips its symmetrize + repartition pass and the stationary
+    edge side of every superstep join reuses the bucket layout with no
+    exchange.
     """
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -52,14 +60,17 @@ def connected_components(
     # partitioned on dst once: the per-superstep gather joins on sym.dst,
     # so in copartition mode the edge side never moves; the auto-switch
     # vertex count reads this same cache (no second symmetrize pass)
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(npart, "dst")
-        .cache()
-    )
+    sym = edges.select("src", "dst")
+    if not pre_partitioned:
+        sym = (
+            sym.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .repartition(npart, "dst")
+        )
+    sym = sym.cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
     if strategy == "auto":
         n = verts.count()

@@ -31,24 +31,33 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     strategy: str = "auto",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Returns (id, label) after exactly ``iters`` synchronous rounds.
 
-    ``edges`` is treated as undirected.
+    ``edges`` is treated as undirected.  ``pre_partitioned=True``
+    declares ``edges`` is ALREADY symmetrized, self-loop-free, deduped,
+    and hash-distributed on ``dst`` (a bucketed table) — the symmetrize
+    + repartition pass is skipped and the stationary edge side of each
+    superstep join reuses the bucket layout exchange-free
+    (components.py contract).
     """
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # partitioned on dst once (the gather key); the auto-switch vertex
     # count reads this same cache — no second symmetrize pass
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition(npart, "dst")
-        .cache()
-    )
+    sym = edges.select("src", "dst")
+    if not pre_partitioned:
+        sym = (
+            sym.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .repartition(npart, "dst")
+        )
+    sym = sym.cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
     if strategy == "auto":
         n = verts.count()

@@ -60,10 +60,24 @@ def pagerank(
     strategy: str = "auto",
     counters_out: list | None = None,
     init_ranks: DataFrame | None = None,
+    pre_partitioned: bool = False,
+    plans_out: list | None = None,
 ) -> DataFrame:
     """Returns (id, rank). ``tol=None`` runs exactly ``max_iter`` supersteps
     (fixed-iteration mode used by the DuckDB oracle); otherwise stops when
     the L1 delta drops below ``tol``.
+
+    ``pre_partitioned=True`` declares that ``edges`` is ALREADY
+    hash-distributed on ``src`` — e.g. a table written with
+    ``tables.write_bucketed(..., ["src"], n_buckets)`` where n_buckets
+    equals ``spark.sql.shuffle.partitions`` — so the kernel skips its
+    own ``repartition(npart, "src")`` and trusts the layout: with the
+    copartition strategy the stationary edge side of every superstep
+    join then has ZERO exchanges end to end (bucket scan feeds the
+    shuffle-hash join directly; only the |V|-row rank table moves).
+    Repeated kernel runs over the same 100-TB bucketed table skip the
+    partitioning pass every time.  ``plans_out`` (a list) receives the
+    first superstep's executed-plan string for plan tests.
 
     ``init_ranks`` ((id, rank)) warm-starts the iteration — e.g. the
     previous converged state when the edge table has been appended to by
@@ -75,7 +89,10 @@ def pagerank(
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst").repartition(npart, "src").cache()
+    e = edges.select("src", "dst")
+    if not pre_partitioned:
+        e = e.repartition(npart, "src")
+    e = e.cache()
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -102,12 +119,14 @@ def pagerank(
     if strategy == "copartition":
         # stationary weighted edge table: (src, dst, out_deg), partitioned
         # on src once; only the rank table moves per superstep.
-        ew = (
-            e.join(outdeg.withColumnRenamed("id", "src"), on="src")
-            .select("src", "dst", "out_deg")
-            .repartition(npart, "src")
-            .cache()
+        ew = e.join(outdeg.withColumnRenamed("id", "src"), on="src").select(
+            "src", "dst", "out_deg"
         )
+        if not pre_partitioned:
+            # a pre-bucketed edge table already satisfies hash(src): the
+            # join above reuses the bucket layout, so no repartition
+            ew = ew.repartition(npart, "src")
+        ew = ew.cache()
         ew.count()
     csr = zeros = dang_ids = None
     if strategy == "csr":
@@ -218,6 +237,10 @@ def pagerank(
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
                 ).alias("rank"),
+            )
+        if plans_out is not None and i == start_iter:
+            plans_out.append(
+                new_ranks._jdf.queryExecution().executedPlan().toString()
             )
         new_ranks = ckpt.save(new_ranks, i)
         ckpt.annotate(superstep_sec=round(_time.time() - _t0, 3))

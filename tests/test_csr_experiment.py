@@ -244,3 +244,94 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_edges")
         spark.sql("DROP TABLE IF EXISTS bt_degs")
+
+
+def test_pagerank_pre_partitioned_bucketed_no_src_exchange(spark, tmp_path):
+    """A pagerank superstep over a bucketed edge table with
+    pre_partitioned=True must never shuffle on src ANYWHERE (including
+    inside the cached ew relation): the bucket layout replaces the
+    kernel's repartition pass, only ranks (hash(id)) and the
+    contribution aggregation (hash(dst)) exchange.  The default path
+    over the same raw edges DOES shuffle on src — the comparative
+    proof, plus rank equality."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.kernels import pagerank
+    from motive_spark.tables import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges_df(spark, random_pairs(300, 2000, seed=55))
+    write_bucketed(edges, "bt_pr_edges", ["src"], npart)
+    try:
+        plans_b, plans_p = [], []
+        got = {
+            r.id: r.rank
+            for r in pagerank(
+                read_table(spark, "bt_pr_edges"),
+                max_iter=3,
+                tol=None,
+                strategy="copartition",
+                pre_partitioned=True,
+                plans_out=plans_b,
+            ).collect()
+        }
+        want = {
+            r.id: r.rank
+            for r in pagerank(
+                edges,
+                max_iter=3,
+                tol=None,
+                strategy="copartition",
+                plans_out=plans_p,
+            ).collect()
+        }
+        assert got.keys() == want.keys()
+        assert all(abs(got[k] - want[k]) < 1e-12 for k in want)
+        # bucketed + pre-partitioned: nothing in the whole superstep plan
+        # (cached relations included) ever exchanges on src
+        assert "hashpartitioning(src" not in plans_b[0], plans_b[0]
+        # the bucket-aware scan actually fed the join
+        assert "Bucketed: true" in plans_b[0]
+        # the default path over raw edges does shuffle on src
+        assert "hashpartitioning(src" in plans_p[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bt_pr_edges")
+
+
+def test_cc_lp_pre_partitioned_bucketed_equivalence(spark):
+    """connected_components / label_propagation accept a pre-symmetrized
+    dst-bucketed table (pre_partitioned=True) and return the same
+    result as the default path over raw edges."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.kernels import connected_components, label_propagation
+    from motive_spark.tables import read_table, write_bucketed
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges_df(spark, random_pairs(150, 500, seed=66) + [(900, 901)])
+    sym = (
+        edges.union(edges.selectExpr("dst as src", "src as dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    write_bucketed(sym, "bt_sym_edges", ["dst"], npart)
+    try:
+        bt = read_table(spark, "bt_sym_edges")
+        cc_b = {
+            r.id: r.component
+            for r in connected_components(bt, pre_partitioned=True).collect()
+        }
+        cc_p = {r.id: r.component for r in connected_components(edges).collect()}
+        assert cc_b == cc_p
+        lp_b = {
+            r.id: r.label
+            for r in label_propagation(bt, iters=3, pre_partitioned=True).collect()
+        }
+        lp_p = {r.id: r.label for r in label_propagation(edges, iters=3).collect()}
+        assert lp_b == lp_p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_sym_edges")
