@@ -119,7 +119,16 @@ def _extra_benches(spark) -> dict[str, float]:
                 k.startswith(
                     ("dedup_", "simhash", "minhash", "text_", "knn_", "motif_")
                 )
-                or k in ("hits", "personalized_pagerank", "graph_kcore")
+                or k
+                in (
+                    "hits",
+                    "personalized_pagerank",
+                    "graph_kcore",
+                    "graph_scc",
+                    "graph_random_walks",
+                    "graph_link_prediction",
+                    "stream_dedup",
+                )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle
             # baseline (quadratic; the LSH scale path is timed below);
