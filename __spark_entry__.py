@@ -579,12 +579,13 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adamic_adar", 6).alias("adamic_adar"),
         "is_edge",
     )
-    w = Window.orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 200)
-        .orderBy("rank")
-    )
+    # distributed top-k (TakeOrdered — per-partition heaps, never a
+    # single-partition sort of the 1e8-pair candidate set); the rank
+    # column is stamped by a window over the 200 survivors only
+    order = [F.desc("jaccard"), F.asc("u"), F.asc("v")]
+    top = s.orderBy(*order).limit(200)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def q_label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
