@@ -280,49 +280,25 @@ def link_prediction_scores(
         )
     elif max_middle_degree is not None:
         mid = mid.where(F.col("deg") <= max_middle_degree)
-    if max_middle_degree is not None:
-        # capped middles have bounded degree, so their FULL neighbor list
-        # fits one bounded row — generate each middle's C(deg, 2) wedge
-        # pairs straight from the sorted adjacency array (i < j over a
-        # sorted list gives u < v for free) and skip the wedge SELF-JOIN
-        # entirely: one aggregation shuffle instead of a join shuffle
-        # plus an aggregation shuffle.  On a dense graph this halves the
-        # largest shuffle in the operator (measured 161s -> see
-        # BENCH/BASELINE.md at sf0.1).  The uncapped opt-out keeps the
-        # join plan, where unbounded middles forbid single-row adjacency.
-        adj = mid.groupBy("src").agg(
-            F.sort_array(F.collect_list("dst")).alias("nbrs")
-        )
-        nbrs = F.col("nbrs")
-        pair_structs = F.flatten(
-            F.transform(
-                nbrs,
-                lambda x, i: F.transform(
-                    F.slice(nbrs, i + 2, F.greatest(F.size(nbrs) - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("u"), y.alias("v")),
-                ),
-            )
-        )
-        wedges = adj.select(
-            (1.0 / F.log(F.size(nbrs))).alias("aa_w"),
-            F.explode(pair_structs).alias("p"),
-        ).select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "aa_w")
-        scores = wedges.groupBy("u", "v").agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum("aa_w").alias("adamic_adar"),
-        )
-    else:
-        a = mid.select(
-            F.col("src").alias("w"),
-            F.col("dst").alias("u"),
-            F.col("deg").alias("wdeg"),
-        )
-        b = mid.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-        pairs = a.join(b, on="w").where(F.col("u") < F.col("v"))
-        scores = pairs.groupBy("u", "v").agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(1.0 / F.log("wdeg")).alias("adamic_adar"),
-        )
+    # wedge enumeration stays a SELF-JOIN on the middle vertex: both the
+    # join and the (u, v) aggregation run whole-stage-codegen'd.  An
+    # array alternative (per-middle sorted adjacency + nested-transform
+    # pair generation — one shuffle fewer on paper) measured 3x SLOWER
+    # at sf0.1 (125-255s vs 40-69s, back-to-back in one session):
+    # nested higher-order functions evaluate INTERPRETED per row, and
+    # the O(deg^2) slice copies dwarf the saved exchange.  Keep the
+    # codegen path; the cap bounds per-middle wedge fan-out either way.
+    a = mid.select(
+        F.col("src").alias("w"),
+        F.col("dst").alias("u"),
+        F.col("deg").alias("wdeg"),
+    )
+    b = mid.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    pairs = a.join(b, on="w").where(F.col("u") < F.col("v"))
+    scores = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(1.0 / F.log("wdeg")).alias("adamic_adar"),
+    )
     scores = scores.where(F.col("common_neighbors") >= min_common)
     du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
