@@ -1414,6 +1414,72 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("content_key")
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap): one window pass + one
+    aggregation; all time math in integer micros, value in cents."""
+    from motive_spark.datapipe import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=1800).orderBy("user_id", "session_idx")
+
+
+def q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF attribution: every purchase matched to the user's latest
+    click at-or-before it (union-tag window plan — one shuffle, no
+    inequality join); DuckDB replays it with its native ASOF JOIN."""
+    from motive_spark.datapipe import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", right_cols=["click_event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+        "asof_lag_us",
+    ).orderBy("event_id")
+
+
+def q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window event counts drained
+    exactly-once (availableNow + foreachBatch parquet) — second
+    streaming contract row; DuckDB replays it as a date_trunc GROUP
+    BY."""
+    from motive_spark.streaming import stream_windowed_event_counts
+
+    return stream_windowed_event_counts(
+        spark, f"{sf_dir}/events.parquet", window="1 hour"
+    ).orderBy("window_start")
+
+
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract the JSON prop k from the
+    props string column, bucket stats per k."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1433,6 +1499,10 @@ _DATAPIPE_QUERIES = {
     "motif_k3_er_factors": q_motif_k3_er_factors,
     "motif_planted_factors": q_motif_planted_factors,
     "stream_dedup": q_stream_dedup,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_clicks": q_events_asof_clicks,
+    "events_windowed_counts": q_events_windowed_counts,
+    "events_props_json": q_events_props_json,
 }
 
 
@@ -1610,6 +1680,61 @@ SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_key,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1 ORDER BY 1""",
+    "events_sessionize": """
+WITH x AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+),
+y AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM x
+),
+z AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+  FROM y
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_seconds,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    # the engine's union-tag window AS-OF == DuckDB's native ASOF JOIN
+    "events_asof_clicks": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       c.click_event_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS asof_lag_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id""",
+    "events_windowed_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1""",
+    "events_props_json": """
+SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1 ORDER BY 1""",
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

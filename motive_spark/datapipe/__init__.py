@@ -21,6 +21,10 @@ from motive_spark.datapipe.multimodal import (
     image_stats_features,
     resize_payload,
 )
+from motive_spark.datapipe.temporal import (
+    asof_join,
+    sessionize,
+)
 from motive_spark.datapipe.text import (
     detect_language,
     detect_language_ngram,
@@ -54,4 +58,6 @@ __all__ = [
     "image_stats_features",
     "resize_payload",
     "frame_sample_plan",
+    "sessionize",
+    "asof_join",
 ]

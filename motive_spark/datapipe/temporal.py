@@ -1,0 +1,181 @@
+"""Event-time operators over the ``events`` table: sessionization and
+as-of joins — the temporal half of a training-data / analytics
+pipeline (funnel attribution, session corpora, point-in-time feature
+joins).
+
+Cross-engine discipline (the DuckDB-oracle contract): all time
+arithmetic is INTEGER micros (``unix_micros`` / ``epoch_us``),
+timestamps cross the engine boundary as formatted strings, and money
+aggregates in integer cents — no float or timestamp-typed column ever
+reaches the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(df: DataFrame, col_name: str):
+    """Integer micros since epoch for a timestamp column, TZ-FREE: for
+    TIMESTAMP_NTZ uses timestampdiff against a naive epoch literal (no
+    session-timezone involvement — matches DuckDB's epoch_us on naive
+    timestamps exactly); plain TIMESTAMP takes unix_micros."""
+    if dict(df.dtypes).get(col_name) == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col_name}`)"
+        )
+    return F.unix_micros(F.col(col_name))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one ``key`` more
+    than ``gap_seconds`` apart start a new session.
+
+    Returns one row per session:
+    (user_id, session_idx, n_events, session_start, session_end,
+    duration_seconds, sum_value_cents) — session_idx is 1-based in
+    event-time order, timestamps are formatted strings, the value sum
+    aggregates integer cents (exact cross-engine).
+
+    Physical shape: ONE hash-partitioned window pass over (key) ordered
+    by (ts, event_id) — per-key rows stream through a single task, the
+    standard batch sessionization plan (a pathological power-key is the
+    caller's salting decision; Structured Streaming's native
+    ``session_window`` is the unbounded-stream path).
+    """
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    base = events.select(
+        key,
+        "event_id",
+        F.col(ts_col).alias("ts"),
+        _micros(events, ts_col).alias("us"),
+        "value",
+    )
+    prev = F.lag("us").over(w)
+    marked = base.withColumn(
+        "brk",
+        F.when(
+            prev.isNull() | ((F.col("us") - prev) > gap_seconds * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.select(
+        key,
+        "event_id",
+        "ts",
+        "us",
+        "value",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return sess.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        ((F.max("us") - F.min("us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_seconds"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Distributed AS-OF join: every ``left`` row is matched to the
+    LATEST ``right`` row of the same ``key`` with
+    ``right_ts <= left_ts`` (point-in-time semantics — the feature-store
+    / attribution join Spark lacks as a built-in).
+
+    Plan: the union-tag trick — tag right rows 0 and left rows 1, union
+    on (key, ts_micros, tag), and take ``last(right payload, ignore
+    nulls)`` over one (key)-partitioned window ordered by
+    (ts_micros, tag).  ONE shuffle + one window pass, never an
+    inequality join (a naive theta-join is O(|L|·|R|) per key and
+    unusable at scale).  At equal timestamps right sorts before left,
+    so a same-instant right row DOES match.  Ties inside ``right`` on
+    (key, ts) must be resolved by the caller (dedupe first) for
+    deterministic output.
+
+    ``tolerance_seconds`` drops matches older than the tolerance
+    (NULL payload instead), the pandas ``merge_asof`` semantics.
+
+    Returns ``left`` plus ``right_cols`` (prefixed ``asof_``) and
+    ``asof_lag_us`` (integer micros between the rows; NULL = no match).
+    """
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in (key, right_ts)
+        ]
+    l_us = _micros(left, left_ts)
+    r_us = _micros(right, right_ts)
+    lt = left.withColumn("_us", l_us).withColumn("_tag", F.lit(1))
+    rt = right.select(
+        key,
+        r_us.alias("_us"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            r_us.alias("_r_us"),
+            *[F.col(c) for c in right_cols],
+        ).alias("_payload"),
+    )
+    u = lt.select(
+        key,
+        "_us",
+        "_tag",
+        F.lit(None).cast(rt.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in left.columns if c != key],
+    ).unionByName(
+        rt.select(
+            key,
+            "_us",
+            "_tag",
+            "_payload",
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c != key
+            ],
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_us", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+        .where(F.col("_tag") == 1)
+    )
+    lag_us = F.col("_us") - F.col("_m._r_us")
+    if tolerance_seconds is not None:
+        keep = lag_us <= tolerance_seconds * 1_000_000
+        matched = matched.withColumn(
+            "_m", F.when(keep, F.col("_m")).otherwise(F.lit(None))
+        )
+        lag_us = F.col("_us") - F.col("_m._r_us")
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_cols],
+        lag_us.alias("asof_lag_us"),
+    )

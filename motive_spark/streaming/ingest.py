@@ -117,6 +117,89 @@ def running_degrees_stream(edges: DataFrame) -> DataFrame:
     )
 
 
+def _as_stream_dir(input_path: str) -> str:
+    """The file stream source requires a DIRECTORY basePath; expose a
+    single-file input through a symlinked temp dir (no data copy)."""
+    import os
+    import tempfile
+
+    if not os.path.isfile(input_path):
+        return input_path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(input_path),
+        os.path.join(d, os.path.basename(input_path)),
+    )
+    return d
+
+
+def _drain_complete_to_parquet(agg: DataFrame) -> DataFrame:
+    """Run a complete-mode streaming aggregation to end-of-backlog
+    (availableNow) through a foreachBatch parquet sink and return the
+    final static table — the exactly-once batch-drain shape shared by
+    the streaming contract rows."""
+    import tempfile
+
+    spark = agg.sparkSession
+    out_dir = tempfile.mkdtemp(prefix="stream_drain_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_drain_ckpt_")
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # complete mode: each epoch carries the full state; the last
+        # overwrite is the final table
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_path: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling-window counts over a parquet-backed event
+    stream, drained exactly-once: readStream over (event_id, ts, ...,
+    value) rows, stateful windowed aggregation, availableNow trigger,
+    foreachBatch parquet sink.
+
+    Returns (window_start, window_end, n_events, sum_value_cents) with
+    the window bounds as formatted strings and the value sum in integer
+    cents — deterministic regardless of batch arrival order, so the
+    DuckDB oracle replays it as a date_trunc GROUP BY.  (The unbounded
+    -stream variant with WATERMARKED state is ``windowed_edge_counts``;
+    this is the batch-drain/backfill shape.)
+    """
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        _as_stream_dir(input_path)
+    )
+    agg = stream.groupBy(F.window("ts", window).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+    out = _drain_complete_to_parquet(
+        agg.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    return out
+
+
 def stream_prefix_dedup_groups(
     spark: SparkSession,
     input_path: str,
@@ -141,19 +224,8 @@ def stream_prefix_dedup_groups(
     watermark-bounded ``stream_dedup_docs`` below is the scale path —
     this runner is the batch-drain/backfill shape.
     """
-    import os
-    import tempfile
-
     schema = spark.read.parquet(input_path).schema
-    if os.path.isfile(input_path):
-        # the file stream source requires a DIRECTORY basePath; expose a
-        # single-file input through a symlinked temp dir (no data copy)
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(
-            os.path.abspath(input_path),
-            os.path.join(d, os.path.basename(input_path)),
-        )
-        input_path = d
+    input_path = _as_stream_dir(input_path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         # forces a multi-micro-batch drain (state correctness across
@@ -167,23 +239,7 @@ def stream_prefix_dedup_groups(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
-    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
-
-    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
-        # complete mode: each epoch carries the full state; the last
-        # overwrite is the final table
-        bdf.write.mode("overwrite").parquet(out_dir)
-
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return _drain_complete_to_parquet(agg)
 
 
 def stream_dedup_docs(
