@@ -1414,6 +1414,72 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("content_key")
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd's k-means (k=8, 3 iterations, md5-seeded):
+    every assignment replayed bit-for-bit by the unrolled DuckDB
+    oracle — quantized int64 vectors, round-half-up integer centroid
+    means, ties to the smallest cluster."""
+    from motive_spark.datapipe import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_clusters(emb, k=8, iters=3).orderBy("vec_id")
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations mirroring datapipe.kmeans_clusters."""
+    parts = [
+        f"""WITH v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT) + 1000000)
+           AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j,
+         v AS c
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev_c = f"c{it - 1}"
+        parts.append(
+            f""",a{it} AS MATERIALIZED (
+  SELECT vec_id, v, j,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  i -> (v[i] - c[i]) * (v[i] - c[i]))) AS d2
+  FROM v CROSS JOIN {prev_c}
+),
+s{it} AS MATERIALIZED (
+  SELECT vec_id, v, j AS cl, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+    FROM a{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""",c{it} AS MATERIALIZED (
+  SELECT {prev_c}.j, COALESCE(n.c, {prev_c}.c) AS c
+  FROM {prev_c} LEFT JOIN (
+    SELECT cl AS j, list(cd ORDER BY pos) AS c FROM (
+      SELECT cl, pos, CAST((SUM(vd) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+               AS cd
+      FROM (SELECT cl, generate_subscripts(v, 1) AS pos, unnest(v) AS vd
+            FROM s{it})
+      GROUP BY cl, pos
+    ) GROUP BY cl
+  ) n ON n.j = {prev_c}.j
+)"""
+            )
+    parts.append(
+        f"""
+SELECT vec_id, CAST(cl AS INT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+FROM s{iters} ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): one window pass + one
     aggregation; all time math in integer micros, value in cents."""
@@ -1503,6 +1569,7 @@ _DATAPIPE_QUERIES = {
     "events_asof_clicks": q_events_asof_clicks,
     "events_windowed_counts": q_events_windowed_counts,
     "events_props_json": q_events_props_json,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 
@@ -1735,6 +1802,7 @@ SELECT CAST(props->>'$.k' AS BIGINT) AS k,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY 1""",
+    "kmeans_embeddings": _kmeans_sql(),
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

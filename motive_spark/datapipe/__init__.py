@@ -8,6 +8,7 @@ from motive_spark.datapipe.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
     ivf_topk,
+    kmeans_clusters,
     lsh_bucketed_topk,
 )
 from motive_spark.datapipe.multimodal import (
@@ -42,6 +43,7 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "kmeans_clusters",
     "embedding_near_duplicates",
     "token_stats",
     "quality_scores",

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -320,3 +322,102 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column, in
+    EXACT integer arithmetic so the DuckDB oracle replays every
+    assignment bit-for-bit (no float summation-order divergence):
+
+    * vectors quantize to ``round(x * scale) + offset`` int64 (offset
+      keeps them positive, so the rounding division below is plain
+      floor division in both engines; distances are offset-invariant);
+    * init centroids = the k vectors with lexicographically smallest
+      ``md5(vec_id)`` (the IVF seed trick), cluster j = md5 rank;
+    * each iteration assigns ``argmin_j ||v - c_j||^2`` (ties to the
+      smallest j) and recomputes ``c_jd = (sum_d + n//2) // n``
+      (round-half-up integer mean); empty clusters keep their previous
+      centroid;
+    * returns the LAST assignment: (vec_id, cluster, dist2).
+
+    Physical shape: assignment is one Arrow-vectorized pandas UDF pass
+    over broadcast centroids (numpy int64 — the (n, k, d) distance
+    kernel is C-speed; an expression-tree alternative would evaluate
+    interpreted per row); the centroid update is a codegen'd
+    posexplode + (cluster, dim) aggregation whose k*d partial sums are
+    the only driver-side rows.  Driver actions: iters collects of k*d
+    rows — the standard k-means control loop.
+    """
+    v = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.round(x.cast("double") * scale).cast("long") + offset
+            ),
+        ).alias("v"),
+    ).cache()
+
+    seeds = (
+        v.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"), "v"
+        )
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(int, r.v)) for r in seeds]
+    dim = len(centroids[0])
+
+    def assigner(cents):
+        carr = np.asarray(cents, dtype=np.int64)
+
+        @F.pandas_udf("struct<cluster:int, dist2:long>")
+        def assign(col: pd.Series) -> pd.DataFrame:
+            M = np.stack(col.to_numpy()).astype(np.int64)
+            d2 = ((M[:, None, :] - carr[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)  # ties -> first (smallest j)
+            return pd.DataFrame(
+                {"cluster": cl.astype("int32"),
+                 "dist2": d2[np.arange(len(cl)), cl]}
+            )
+
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = v.select(
+            "vec_id", "v", assigner(centroids)("v").alias("a")
+        ).select(
+            "vec_id", "v",
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.dist2").alias("dist2"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "vd"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("vd").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.pos)] = (
+                int(r.s),
+                int(r.n),
+            )
+        centroids = [list(c) for c in centroids]  # empty cluster keeps old
+        for j, dims in by_cluster.items():
+            centroids[j] = [
+                (dims[p][0] + dims[p][1] // 2) // dims[p][1]
+                for p in range(dim)
+            ]
+    out = assigned.select("vec_id", "cluster", "dist2")
+    out = out.localCheckpoint(eager=True)
+    v.unpersist()
+    return out

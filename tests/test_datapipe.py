@@ -402,3 +402,47 @@ def test_image_codec_roundtrip_and_real_resize(docs, spark):
 
     opaque = image_stats_features(attach_binary_payload(docs.limit(3)))
     assert opaque.where("features IS NOT NULL").count() == 0
+
+
+def test_kmeans_clusters_matches_numpy_oracle(emb, spark):
+    """Integer-exact Lloyd's: the Spark result equals a from-scratch
+    numpy replication (same quantization, md5 seeding, round-half-up
+    integer means, smallest-j tie-break) on every vector."""
+    import hashlib
+
+    import numpy as np
+
+    from motive_spark.datapipe import kmeans_clusters
+
+    k, iters = 4, 3
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_clusters(emb, k=k, iters=iters).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    V = np.array(
+        [[round(float(x) * 1_000_000) + 1_000_000 for x in r.embedding]
+         for r in rows],
+        dtype=np.int64,
+    )
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[:k]
+    C = V[order].copy()
+    for _ in range(iters):
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        for j in range(k):
+            members = V[cl == j]
+            if len(members):
+                s = members.sum(axis=0)
+                n = len(members)
+                C[j] = (s + n // 2) // n
+    want = {
+        ids[i]: (int(cl[i]), int(d2[i, cl[i]])) for i in range(len(ids))
+    }
+    assert got == want
+    assert len({c for c, _ in got.values()}) > 1  # nontrivial clustering
