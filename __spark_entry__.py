@@ -551,6 +551,73 @@ def q_text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(docs).orderBy("doc_id")
 
 
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (frontier Bellman-Ford, 6
+    fixed synchronous rounds, integer co-purchase-multiplicity weights)
+    from the 3 smallest vertices — the oracle unrolls the identical
+    relaxation recurrence, so distances compare exactly."""
+    from motive_spark.kernels import shortest_paths
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wund = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    verts = wund.select(F.col("src").alias("id")).union(
+        wund.select(F.col("dst").alias("id"))
+    ).distinct()
+    sources = [r.id for r in verts.orderBy("id").limit(3).collect()]
+    return shortest_paths(
+        wund, sources, weight_col="mult", rounds=6
+    ).orderBy("source", "id")
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    parts = [
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+wund AS MATERIALIZED (
+  SELECT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst,
+         COUNT(*) AS w
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+),
+wsym AS MATERIALIZED (
+  SELECT src, dst, w FROM wund
+  UNION ALL SELECT dst AS src, src AS dst, w FROM wund
+),
+verts AS (SELECT DISTINCT src AS id FROM wsym),
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),
+d0 AS MATERIALIZED (SELECT id AS source, id, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",d{r} AS MATERIALIZED (
+  SELECT source, id, MIN(dist) AS dist FROM (
+    SELECT source, id, dist FROM d{r - 1}
+    UNION ALL
+    SELECT p.source, e.dst AS id, p.dist + e.w AS dist
+    FROM d{r - 1} p JOIN wsym e ON e.src = p.id
+  ) GROUP BY source, id
+)"""
+        )
+    parts.append(
+        f"\nSELECT source, id, CAST(dist AS BIGINT) AS dist"
+        f" FROM d{rounds} ORDER BY source, id"
+    )
+    return "".join(parts)
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-step random walks, 2 per vertex, md5-indexed
     neighbor choice — the DuckDB oracle replays the identical walks."""
@@ -670,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": q_graph_clustering,
         "graph_assortativity": q_graph_assortativity,
         "graph_khop": q_graph_khop,
+        "graph_sssp": q_graph_sssp,
         "graph_random_walks": q_graph_random_walks,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
@@ -775,6 +843,7 @@ s0 AS (
             )
             + "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
         ),
+        "graph_sssp": _sssp_sql(),
         "graph_khop": (
             "WITH " + SQL_GRAPH + """,
 seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),

@@ -1,0 +1,112 @@
+"""Multi-source weighted shortest paths — frontier Bellman-Ford.
+
+The missing member of the gather-scatter kernel family (PageRank / CC /
+LP / triangles / SCC / k-core): single- or multi-source shortest path
+distances over non-negative integer edge weights, as synchronous
+relaxation rounds:
+
+    d_r(s, v) = min(d_{r-1}(s, v), min_{u->v} d_{r-1}(s, u) + w(u, v))
+
+Physical shape per round: one equi-join (frontier ⋈ edges on the source
+endpoint — the stationary edge table is hash-partitioned once and
+cached, only the frontier moves) + one (source, id) min-aggregation +
+per-round lineage truncation — exactly the CC kernel's exchange
+pattern.  Relaxation proceeds from the FRONTIER only (rows whose
+distance improved last round): by induction this yields the identical
+d_r as full relaxation (a non-improved vertex's relaxations were
+already applied and are dominated), while shrinking the moving side to
+the active set — the standard distributed Bellman-Ford trick.
+
+``rounds=N`` runs exactly N synchronous rounds with no convergence
+check — the DuckDB oracle unrolls the same recurrence, so fixed-round
+results compare EXACTLY (integer weights, no floats anywhere).
+``rounds=None`` iterates to convergence (bounded by ``max_rounds``,
+warning on overflow): rounds needed = max edge count of any shortest
+path, <= the graph's hop diameter for metric-ish weights.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list[int],
+    weight_col: str | None = None,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """Returns (source, id, dist): minimum path weight from each source
+    to every reached vertex (unreached vertices are absent).  Weights
+    default to 1 per edge (hop distance = multi-source BFS); pass
+    ``weight_col`` for integer weighted edges."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    # parallel edges keep only their lightest copy — fewer relax rows,
+    # identical distances
+    e = (
+        e.groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition(npart, "src")
+        .cache()
+    )
+
+    state = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        "source long, id long, dist long",
+    ).localCheckpoint(eager=True)
+    frontier = state
+
+    fixed = rounds is not None
+    n_rounds = rounds if fixed else max_rounds
+    converged = False
+    for _ in range(n_rounds):
+        relax = frontier.join(e, on=[frontier.id == e.src]).select(
+            "source",
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        new_state = (
+            state.unionByName(relax)
+            .groupBy("source", "id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = new_state.join(
+            state.withColumnRenamed("dist", "old"),
+            on=["source", "id"],
+            how="left",
+        ).where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("source", "id", "dist").localCheckpoint(eager=True)
+        state = new_state
+        if not fixed and frontier.limit(1).count() == 0:
+            converged = True
+            break
+    if not fixed and not converged:
+        warnings.warn(
+            f"shortest_paths: not converged within max_rounds={max_rounds};"
+            " distances are the best found so far",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    e.unpersist()
+    return state

@@ -742,3 +742,74 @@ def test_seeded_label_propagation_clusters_and_clamping(spark):
         ).collect()
     }
     assert out2[50] is None and out2[51] is None
+
+
+def test_shortest_paths_matches_dijkstra(spark):
+    """Frontier Bellman-Ford vs a heap Dijkstra oracle on random
+    weighted graphs (undirected and directed), plus BFS defaults,
+    fixed-round == converged when rounds suffice, and the
+    non-convergence warning."""
+    import heapq
+    import warnings as _w
+
+    from motive_spark.kernels import shortest_paths
+
+    def dijkstra(pairs, weights, sources, directed):
+        adj = {}
+        for (a, b), w in zip(pairs, weights):
+            adj.setdefault(a, []).append((b, w))
+            if not directed:
+                adj.setdefault(b, []).append((a, w))
+        out = {}
+        for s in sources:
+            dist = {s: 0}
+            pq = [(0, s)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            for v, d in dist.items():
+                out[(s, v)] = d
+        return out
+
+    rng = random.Random(9)
+    pairs = sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(140)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    weights = [rng.randrange(1, 9) for _ in pairs]
+    for directed in (False, True):
+        edges = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in zip(pairs, weights)],
+            "src long, dst long, mult long",
+        )
+        got = {
+            (r.source, r.id): r.dist
+            for r in shortest_paths(
+                edges, [0, 1, 2], weight_col="mult", directed=directed
+            ).collect()
+        }
+        want = dijkstra(pairs, weights, [0, 1, 2], directed)
+        assert got == want, directed
+
+    # unweighted default = hop distance (BFS)
+    chain = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    hops = {
+        (r.source, r.id): r.dist
+        for r in shortest_paths(chain, [0]).collect()
+    }
+    assert hops == {(0, 0): 0, (0, 1): 1, (0, 2): 2, (0, 3): 3}
+    # fixed rounds: 2 rounds reach only 2 hops
+    two = {
+        (r.source, r.id): r.dist
+        for r in shortest_paths(chain, [0], rounds=2).collect()
+    }
+    assert two == {(0, 0): 0, (0, 1): 1, (0, 2): 2}
+    # convergence mode warns when max_rounds is too small
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        shortest_paths(chain, [0], max_rounds=2).collect()
+    assert any("not converged" in str(x.message) for x in rec)
