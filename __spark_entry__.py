@@ -1483,6 +1483,85 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("content_key")
 
 
+def q_orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority price percentiles from the cents histogram —
+    no per-group sort; integer target ranks, bit-exact cross-engine."""
+    from motive_spark.datapipe import group_percentiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return group_percentiles(
+        orders,
+        "o_orderpriority",
+        "cents",
+        percentiles=[("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)],
+    ).orderBy("o_orderpriority")
+
+
+BM25_QUERY = ["the", "model", "data", "with"]
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query; per-term contributions sum
+    left-to-right over the literal query order, so the float score is
+    bit-identical cross-engine."""
+    from motive_spark.datapipe import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, BM25_QUERY, top_k=20).orderBy("rank")
+
+
+def _bm25_sql(
+    terms: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """Mirrors datapipe.bm25_topk expression-for-expression, including
+    the left-fold summation order and the exact float literals."""
+    if terms is None:
+        terms = BM25_QUERY
+    tf_sel = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_sel = ",\n         ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(sum_dl * 1.0 / n_docs)"
+    expr = "0.0"
+    for i in range(len(terms)):
+        term = (
+            f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+            f" * (tf_{i} * {k1 + 1.0})"
+            f" / (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / {avgdl}))"
+        )
+        expr = f"({expr} + {term})"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         {tf_sel}
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {df_sel}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, dl AS doc_len, ROUND({expr}, 6) AS bm25
+  FROM base, stats
+)
+SELECT doc_id, doc_len, bm25, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {top_k} ORDER BY rank"""
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd's k-means (k=8, 3 iterations, md5-seeded):
     every assignment replayed bit-for-bit by the unrolled DuckDB
@@ -1639,6 +1718,8 @@ _DATAPIPE_QUERIES = {
     "events_windowed_counts": q_events_windowed_counts,
     "events_props_json": q_events_props_json,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "text_bm25": q_text_bm25,
+    "orders_percentiles": q_orders_percentiles,
 }
 
 
@@ -1872,6 +1953,28 @@ SELECT CAST(props->>'$.k' AS BIGINT) AS k,
          AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_embeddings": _kmeans_sql(),
+    "text_bm25": _bm25_sql(),
+    # exact histogram percentiles: smallest value whose cumulative count
+    # reaches ceil(p * n), integer arithmetic throughout
+    "orders_percentiles": """
+WITH h AS (
+  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h
+)
+SELECT g AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS p25,
+       MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS p50,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS p95
+FROM cum GROUP BY g ORDER BY g""",
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

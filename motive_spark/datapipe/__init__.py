@@ -22,11 +22,13 @@ from motive_spark.datapipe.multimodal import (
     image_stats_features,
     resize_payload,
 )
+from motive_spark.datapipe.stats import group_percentiles
 from motive_spark.datapipe.temporal import (
     asof_join,
     sessionize,
 )
 from motive_spark.datapipe.text import (
+    bm25_topk,
     detect_language,
     detect_language_ngram,
     document_fingerprint,
@@ -46,6 +48,7 @@ __all__ = [
     "kmeans_clusters",
     "embedding_near_duplicates",
     "token_stats",
+    "bm25_topk",
     "quality_scores",
     "detect_language",
     "detect_language_ngram",
@@ -61,5 +64,6 @@ __all__ = [
     "resize_payload",
     "frame_sample_plan",
     "sessionize",
+    "group_percentiles",
     "asof_join",
 ]

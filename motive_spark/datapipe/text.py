@@ -34,6 +34,16 @@ def _count_token(col, token: str):
     ).cast("long")
 
 
+def _count_token_exact(col, token: str):
+    """Exact whitespace-token frequency via a list filter — unlike the
+    replace-delta trick (`_count_token`), this counts ADJACENT repeats
+    correctly (replace() consumes the shared delimiter, undercounting
+    back-to-back occurrences)."""
+    return F.size(
+        F.filter(F.split(col, " "), lambda x: x == F.lit(token))
+    ).cast("long")
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, n_chars, avg_token_len, n_distinct_tokens).
 
@@ -101,6 +111,71 @@ def detect_language(docs: DataFrame) -> DataFrame:
         best_cnt = F.when(is_better, c).otherwise(best_cnt)
     out = docs.select("doc_id", best.alias("pred_lang"))
     return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 document retrieval for a fixed query (Robertson/Sparck
+    Jones, public literature) — the search/retrieval primitive a
+    training-data pipeline uses for quality-by-query mining:
+
+        score(d) = sum_t idf(t) * tf * (k1+1)
+                               / (tf + k1 * (1 - b + b * dl/avgdl))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Everything happens in TWO plan nodes: one corpus aggregation
+    produces (N, sum_dl, df per term) which broadcast-joins back, and
+    the score is a single column expression — term frequencies come
+    from the replace-delta trick, and the per-term contributions sum
+    LEFT-TO-RIGHT over the literal query order (an expression, not an
+    aggregation), so the float result is bit-identical cross-engine
+    and the DuckDB oracle replays it exactly.  Top-k is TakeOrdered
+    (never a global sort), rank stamped over the k survivors.
+    """
+    from pyspark.sql import Window
+
+    tf_cols = [
+        _count_token_exact(F.col("text"), t).alias(f"tf_{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        *tf_cols,
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + b * F.col("dl") / avgdl)
+        )
+    scored = j.select(
+        "doc_id",
+        F.col("dl").alias("doc_len"),
+        F.round(score, 6).alias("bm25"),
+    )
+    order = [F.desc("bm25"), F.asc("doc_id")]
+    top = scored.orderBy(*order).limit(top_k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
 
 
 def detect_language_ngram(docs: DataFrame) -> DataFrame:

@@ -446,3 +446,72 @@ def test_kmeans_clusters_matches_numpy_oracle(emb, spark):
     }
     assert got == want
     assert len({c for c, _ in got.values()}) > 1  # nontrivial clustering
+
+
+def test_bm25_topk_matches_python(spark):
+    """BM25 scores vs a from-scratch python computation of the same
+    formula on a tiny corpus (same tokenization, same idf variant)."""
+    import math as m
+
+    from motive_spark.datapipe import bm25_topk
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog barked at the cat loudly today"),
+        (2, "machine learning model training data pipeline"),
+        (3, "no relevant words here whatsoever"),
+        (4, "data data data model"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = ["the", "data", "model"]
+    got = {
+        r.doc_id: (r.bm25, r.rank)
+        for r in bm25_topk(docs, q, top_k=5).collect()
+    }
+
+    texts = {i: t.split(" ") for i, t in corpus}
+    N = len(texts)
+    avgdl = sum(len(v) for v in texts.values()) / N
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, toks in texts.items():
+        s = 0.0
+        for t in q:
+            tf = toks.count(t)
+            df = sum(1 for v in texts.values() if t in v)
+            idf = m.log((N - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(toks) / avgdl)
+            )
+        want[i] = round(s, 6)
+    for i, (score, _) in got.items():
+        assert abs(score - want[i]) < 1e-6, (i, score, want[i])
+    # doc 4 (data x3 + model) outranks doc 3 (nothing)
+    assert got[4][1] < got[3][1]
+
+
+def test_group_percentiles_exact(spark):
+    """Histogram percentiles == the value at rank ceil(p*n) of the
+    sorted group, including duplicate-heavy and tiny groups."""
+    import random as _r
+
+    from motive_spark.datapipe import group_percentiles
+
+    rng = _r.Random(3)
+    rows = [("a", rng.randrange(0, 50)) for _ in range(997)]
+    rows += [("b", 7)] * 10          # constant group
+    rows += [("c", v) for v in (5, 1, 9)]  # tiny group
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: (r.n_rows, r.p50, r.p95)
+        for r in group_percentiles(df, "g", "v").collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        want50 = vals[-(-n // 2) - 1]        # ceil(n/2), 1-based
+        want95 = vals[-(-19 * n // 20) - 1]  # ceil(19n/20)
+        assert got[g] == (n, want50, want95), g
