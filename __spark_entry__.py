@@ -618,6 +618,48 @@ d0 AS MATERIALIZED (SELECT id AS source, id, CAST(0 AS BIGINT) AS dist FROM seed
     return "".join(parts)
 
 
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality from the 8 smallest vertices (6 BFS
+    rounds); contributions quantized to integers before the sum, so the
+    aggregation is order-independent and exact."""
+    from motive_spark.graph import vertices
+    from motive_spark.kernels import harmonic_centrality
+
+    und = _und(spark, sf_dir)
+    srcs = [r.id for r in vertices(und).orderBy("id").limit(8).collect()]
+    return harmonic_centrality(und, srcs, rounds=6).orderBy("id")
+
+
+def _harmonic_sql(rounds: int = 6, n_sources: int = 8) -> str:
+    parts = [
+        "WITH "
+        + SQL_GRAPH
+        + f""",
+seeds AS (SELECT id FROM verts ORDER BY id LIMIT {n_sources}),
+d0 AS MATERIALIZED (SELECT id AS source, id, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",d{r} AS MATERIALIZED (
+  SELECT source, id, MIN(dist) AS dist FROM (
+    SELECT source, id, dist FROM d{r - 1}
+    UNION ALL
+    SELECT p.source, e.dst AS id, p.dist + 1 AS dist
+    FROM d{r - 1} p JOIN sym e ON e.src = p.id
+  ) GROUP BY source, id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id,
+       CAST(SUM(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+         AS harmonic_x1e6,
+       COUNT(*) AS n_reached
+FROM d{rounds} WHERE dist > 0 GROUP BY id ORDER BY id"""
+    )
+    return "".join(parts)
+
+
 def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 4-step random walks, 2 per vertex, md5-indexed
     neighbor choice — the DuckDB oracle replays the identical walks."""
@@ -738,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
+        "graph_harmonic": q_graph_harmonic,
         "graph_random_walks": q_graph_random_walks,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
@@ -844,6 +887,7 @@ s0 AS (
             + "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
         ),
         "graph_sssp": _sssp_sql(),
+        "graph_harmonic": _harmonic_sql(),
         "graph_khop": (
             "WITH " + SQL_GRAPH + """,
 seeds AS (SELECT id FROM verts ORDER BY id LIMIT 3),

@@ -11,7 +11,7 @@ from motive_spark.kernels.pagerank import (
     weighted_pagerank,
 )
 from motive_spark.kernels.scc import strongly_connected_components
-from motive_spark.kernels.sssp import shortest_paths
+from motive_spark.kernels.sssp import harmonic_centrality, shortest_paths
 from motive_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "shortest_paths",
+    "harmonic_centrality",
     "label_propagation",
     "seeded_label_propagation",
     "triangle_count",

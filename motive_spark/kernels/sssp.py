@@ -110,3 +110,32 @@ def shortest_paths(
         )
     e.unpersist()
     return state
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int = 6,
+    scale: int = 1_000_000,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna's estimator, public
+    literature): H(v) = sum over sample sources s != v of 1/d(s, v),
+    with distances from ``rounds`` synchronous BFS rounds of the
+    shortest-paths kernel (hop metric).
+
+    The per-source contributions are quantized to ``round(scale/d)``
+    BEFORE summing, so the aggregation is an exact integer sum —
+    order-independent, hence bit-identical in the DuckDB oracle.
+    Returns (id, harmonic_x1e6, n_reached); vertices reached by no
+    source are absent.  At 100-TB scale the source sample size is the
+    accuracy/cost dial (|sources| BFS frontiers run in ONE state
+    table, batched exactly like k_hop).
+    """
+    d = shortest_paths(edges, sources, rounds=rounds, directed=directed)
+    pos = d.where(F.col("dist") > 0)
+    contrib = F.round(F.lit(float(scale)) / F.col("dist")).cast("long")
+    return pos.groupBy("id").agg(
+        F.sum(contrib).alias("harmonic_x1e6"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )

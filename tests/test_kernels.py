@@ -813,3 +813,21 @@ def test_shortest_paths_matches_dijkstra(spark):
         _w.simplefilter("always")
         shortest_paths(chain, [0], max_rounds=2).collect()
     assert any("not converged" in str(x.message) for x in rec)
+
+
+def test_harmonic_centrality_known_graph(spark):
+    """Star graph: the hub is one hop from every source, leaves are two
+    hops from other leaves; exact integer-quantized contributions."""
+    from motive_spark.kernels import harmonic_centrality
+
+    star = edges_df(spark, [(0, i) for i in range(1, 6)])
+    got = {
+        r.id: (r.harmonic_x1e6, r.n_reached)
+        for r in harmonic_centrality(star, [1, 2, 3], rounds=4).collect()
+    }
+    # hub 0: dist 1 from all 3 sources -> 3 * 1e6
+    assert got[0] == (3_000_000, 3)
+    # leaf 4: dist 2 from each source -> 3 * 500000
+    assert got[4] == (1_500_000, 3)
+    # source 1: dist 0 from itself (excluded), dist 2 from sources 2, 3
+    assert got[1] == (1_000_000, 2)
