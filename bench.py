@@ -127,7 +127,15 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_scc",
                     "graph_random_walks",
                     "graph_link_prediction",
+                    "graph_sssp",
+                    "graph_harmonic",
                     "stream_dedup",
+                    "kmeans_embeddings",
+                    "events_sessionize",
+                    "events_asof_clicks",
+                    "events_windowed_counts",
+                    "events_props_json",
+                    "orders_percentiles",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle

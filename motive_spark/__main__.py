@@ -89,6 +89,20 @@ def _run_kernel(args, edges):
         return local_clustering_coefficients(edges)
     if args.kernel == "assortativity":
         return degree_assortativity(edges)
+    if args.kernel in ("sssp", "harmonic"):
+        if args.kernel_seeds:
+            seeds = [int(x) for x in args.kernel_seeds.split(",")]
+        else:
+            seeds = [
+                int(r["id"])
+                for r in vertices(edges).orderBy("id").limit(5).collect()
+            ]
+        if args.kernel == "sssp":
+            w = "mult" if "mult" in edges.columns else None
+            return K.shortest_paths(
+                edges, seeds, weight_col=w, max_rounds=args.iterations
+            )
+        return K.harmonic_centrality(edges, seeds, rounds=args.iterations)
     raise ValueError(args.kernel)
 
 
@@ -104,7 +118,8 @@ def main(argv=None) -> int:
                             "weighted_pagerank", "hits",
                             "connected_components", "scc",
                             "label_propagation", "triangle_count",
-                            "k_core", "clustering", "assortativity"],
+                            "k_core", "clustering", "assortativity",
+                            "sssp", "harmonic"],
                    help="--type kernel: which link-graph kernel to run")
     p.add_argument("--iterations", type=int, default=10,
                    help="--type kernel: superstep count for iterative kernels")

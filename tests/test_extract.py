@@ -170,3 +170,24 @@ def test_gml_nested_subblocks(spark, tmp_path):
     assert [(r["src"], r["dst"]) for r in out["edges"].collect()] == [(1, 2)]
     labels = {r["id"]: r["label"] for r in out["nodes"].collect()}
     assert labels == {1: "one", 2: "two"}
+
+
+def test_cli_kernel_sssp_and_harmonic(spark, tmp_path):
+    """--type kernel dispatch for the round-4 kernels writes parquet."""
+    from motive_spark.__main__ import main
+
+    p = tmp_path / "e.tsv"
+    p.write_text("0\t1\n1\t2\n2\t3\n")
+    for kern, cols in (
+        ("sssp", {"source", "id", "dist"}),
+        ("harmonic", {"id", "harmonic_x1e6", "n_reached"}),
+    ):
+        out = str(tmp_path / f"k_{kern}")
+        rc = main([
+            "--type", "kernel", "--kernel", kern, "--file", str(p),
+            "--undirected", "--output", out, "--master", "local[2]",
+            "--iterations", "4", "--kernel.seeds", "0,1",
+        ])
+        assert rc == 0
+        df = spark.read.parquet(out)
+        assert set(df.columns) == cols and df.count() > 0
