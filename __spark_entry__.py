@@ -2207,6 +2207,29 @@ def q_events_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the multi-granularity aggregation class
+    beyond cube/rollup) with grouping_id disambiguating the NULL-key
+    levels; integer-cents money, exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
 def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
@@ -2237,6 +2260,7 @@ _RELATIONAL_QUERIES = {
     "events_user_stats": q_events_user_stats,
     "events_top3_per_type": q_events_top3_per_type,
     "orders_cube": q_orders_cube,
+    "lineitem_grouping_sets": q_lineitem_grouping_sets,
     "orders_monthly": q_orders_monthly,
 }
 
@@ -2253,6 +2277,17 @@ SELECT event_type, rnk, event_id, value FROM (
                             ORDER BY value DESC, event_id ASC) AS rnk
   FROM events
 ) WHERE rnk <= 3 ORDER BY event_type, rnk""",
+    "lineitem_grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus""",
     "orders_cube": """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
