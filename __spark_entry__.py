@@ -1021,6 +1021,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed dedup pipeline: Jaccard candidate pairs -> connected
+    components -> per-cluster keeper; the oracle recomputes the pairs
+    and closes them with a recursive reachability CTE."""
+    from motive_spark.datapipe import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(
+        docs, n=3, threshold=0.15, max_doc_freq=1000
+    ).orderBy("doc_id")
+
+
+def _dedup_clusters_sql(threshold: float = 0.15, max_df: int = 1000) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(3)
+        + f""",
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS MATERIALIZED (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {max_df}
+),
+g AS MATERIALIZED (SELECT doc_id, grams.gram FROM grams JOIN rare ON grams.gram = rare.gram),
+shared AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6)
+        >= {threshold}
+),
+psym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, m) AS (
+  SELECT src AS id, src AS m FROM psym
+  UNION
+  SELECT s.dst AS id, r.m FROM psym s JOIN reach r ON s.src = r.id
+),
+comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id),
+csz AS (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.id AS doc_id, comp.cluster, csz.cluster_size,
+       (comp.id = comp.cluster) AS is_keeper
+FROM comp JOIN csz USING (cluster) ORDER BY doc_id"""
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.datapipe import minhash_lsh_candidates
 
@@ -1741,6 +1794,7 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_token_stats": q_text_token_stats,
@@ -1905,6 +1959,7 @@ _DATAPIPE_ORACLES = {
 SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "text_gopher": _gopher_sql(),
 
     # byte-exact featurizer contract: blob bytes recovered from hex()

@@ -1,4 +1,5 @@
 from motive_spark.datapipe.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -39,6 +40,7 @@ from motive_spark.datapipe.text import (
 
 __all__ = [
     "exact_duplicates",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "simhash_signatures",

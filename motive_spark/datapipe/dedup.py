@@ -184,3 +184,40 @@ def simhash_signatures(docs: DataFrame, n: int = 2) -> DataFrame:
     )
     bits = [F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, 33)]
     return per_doc.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS — the composed dedup pipeline
+    a pretraining corpus actually runs: n-gram Jaccard candidate pairs
+    (bounded inverted index, no all-pairs) feed the connected-components
+    kernel (hash-min + pointer jumping), closing dup chains
+    transitively (a~b, b~c => one cluster even when a~c is below
+    threshold).  Returns one row per clustered doc:
+    (doc_id, cluster, cluster_size, is_keeper) with cluster = the min
+    doc_id of the group and the keeper the canonical survivor;
+    singleton docs (no near-dup) are absent — everything absent
+    survives trivially."""
+    from motive_spark.kernels import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, on="component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -515,3 +515,29 @@ def test_group_percentiles_exact(spark):
         want50 = vals[-(-n // 2) - 1]        # ceil(n/2), 1-based
         want95 = vals[-(-19 * n // 20) - 1]  # ceil(19n/20)
         assert got[g] == (n, want50, want95), g
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b and b~c land in ONE cluster even when a~c is sub-threshold;
+    keeper is the min doc_id; singletons are absent."""
+    from motive_spark.datapipe import dedup_clusters, ngram_jaccard_pairs
+
+    words = [f"w{i}" for i in range(30)]
+    a = " ".join(words)
+    b = " ".join(words[:24] + [f"x{i}" for i in range(6)])   # ~a
+    c = " ".join(words[:16] + [f"x{i}" for i in range(14)])  # ~b, not ~a
+    lone = " ".join(f"z{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, lone)], "doc_id long, text string"
+    )
+    thr = 0.35
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(d, 3, threshold=thr).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    out = {r.doc_id: r for r in dedup_clusters(d, 3, threshold=thr).collect()}
+    assert set(out) == {1, 2, 3}  # lone doc absent
+    assert {out[i].cluster for i in (1, 2, 3)} == {1}
+    assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
+    assert out[1].is_keeper and not out[2].is_keeper and not out[3].is_keeper
