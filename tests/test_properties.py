@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the foundational invariants:
+canonization, code lengths, CSR layout, and histogram percentiles.
+
+Pure-python properties run hundreds of random cases; Spark-backed
+properties run a handful (JVM round-trips are the cost)."""
+
+import math
+from itertools import permutations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from motive_spark.mdl.codes import (
+    log2_choose,
+    online_multiset_bits,
+    store_integers_bits,
+)
+from motive_spark.motifs.canon import (
+    canonical_form,
+    edges_to_mask,
+    mask_to_edges,
+)
+
+
+def _permute_mask(mask: int, k: int, perm: tuple) -> int:
+    out = 0
+    for i in range(k):
+        for j in range(k):
+            if mask >> (perm[i] * k + perm[j]) & 1:
+                out |= 1 << (i * k + j)
+    return out
+
+
+@given(
+    k=st.integers(min_value=2, max_value=5),
+    data=st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_canonical_form_permutation_invariant(k, data):
+    """canon(mask) is invariant under vertex relabeling, idempotent,
+    and never exceeds the input mask (it is the coset MINIMUM)."""
+    mask = data.draw(st.integers(min_value=0, max_value=(1 << (k * k)) - 1))
+    perm = data.draw(st.permutations(range(k)))
+    c = canonical_form(mask, k)
+    assert canonical_form(_permute_mask(mask, k, tuple(perm)), k) == c
+    assert canonical_form(c, k) == c
+    assert c <= mask
+    # the canon really is the minimum over the whole coset
+    assert c == min(
+        _permute_mask(mask, k, p) for p in permutations(range(k))
+    )
+
+
+@given(
+    k=st.integers(min_value=2, max_value=6),
+    directed=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=120, deadline=None)
+def test_edges_mask_roundtrip(k, directed, data):
+    pairs = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, k - 1), st.integers(0, k - 1)
+            ).filter(lambda t: t[0] != t[1]),
+            max_size=k * (k - 1),
+        )
+    )
+    m = edges_to_mask(pairs, k, directed)
+    back = mask_to_edges(m, k, directed)
+    assert edges_to_mask(back, k, directed) == m
+    if directed:
+        assert set(back) == set(pairs)
+    else:
+        assert set(back) == {(min(a, b), max(a, b)) for a, b in pairs}
+
+
+@given(
+    seq=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_online_code_closed_form_equals_sequential_fold(seq):
+    """The closed-form KT codelength equals the sequential observe-loop
+    in ANY order — the order-invariance the wiring-bits term relies on
+    (reference MotifModel.java:454-470 runs the loop)."""
+    alpha = 0.5
+    alphabet = max(seq) + 1
+    counts = np.bincount(seq, minlength=alphabet)
+    closed = online_multiset_bits(counts, alphabet, alpha)
+    for order in (seq, sorted(seq), sorted(seq, reverse=True)):
+        seen = [0] * alphabet
+        bits = 0.0
+        for s in order:
+            p = (seen[s] + alpha) / (sum(seen) + alpha * alphabet)
+            bits += -math.log2(p)
+            seen[s] += 1
+        assert math.isclose(bits, closed, rel_tol=1e-9, abs_tol=1e-9)
+    assert closed >= 0.0
+    assert store_integers_bits(seq) > 0.0
+
+
+@given(
+    n=st.integers(min_value=0, max_value=40),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_log2_choose_matches_comb(n, data):
+    k = data.draw(st.integers(min_value=0, max_value=n))
+    assert math.isclose(
+        float(log2_choose(k, n)),
+        math.log2(math.comb(n, k)) if math.comb(n, k) else 0.0,
+        rel_tol=1e-9,
+        abs_tol=1e-9,
+    )
+
+
+@pytest.mark.parametrize("salt_chunk", [3, 1000])
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_csr_roundtrip_property(spark, salt_chunk, data):
+    """build_csr -> csr_to_edges is the identity on any simple edge set,
+    chunks never exceed salt_chunk, and out_deg is the true degree."""
+    from motive_spark.graph.csr import build_csr, csr_to_edges
+
+    pairs = data.draw(
+        st.sets(
+            st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+                lambda t: t[0] != t[1]
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    csr = build_csr(edges, salt_chunk=salt_chunk).cache()
+    back = {(r.src, r.dst) for r in csr_to_edges(csr).collect()}
+    assert back == pairs
+    rows = csr.collect()
+    assert all(len(r.dst_list) <= salt_chunk for r in rows)
+    deg = {}
+    for a, _ in pairs:
+        deg[a] = deg.get(a, 0) + 1
+    assert all(r.out_deg == deg[r.src] for r in rows)
+    csr.unpersist()
