@@ -336,6 +336,36 @@ def run_scale_level_query(cpus: int, kernel: str, repeats: int = 3) -> dict:
 
         def job():
             return triangle_count(e).collect()[0][0]
+    elif kernel == "sssp":
+        from motive_spark.kernels import shortest_paths
+
+        n_v = int(os.environ.get("SPARK_GRAFT_SSSP_N", str(1_000_000)))
+        n_e = int(os.environ.get("SPARK_GRAFT_SSSP_M", str(10_000_000)))
+        # enough sources that every relaxation round carries real
+        # parallel work: with a handful of seeds the early rounds are
+        # near-empty frontiers and the job is latency-bound (measured
+        # 0.29 efficiency at 3 sources — overhead, not throughput)
+        n_src = int(os.environ.get("SPARK_GRAFT_SSSP_SOURCES", "32"))
+        e = (
+            spark.range(n_e, numPartitions=SCALE_P)
+            .select(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_v)).alias("src"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_v)).alias("dst"),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(7)) + 1).alias("w"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .cache()
+        )
+        rows = e.count()
+
+        def job():
+            # fixed-round weighted relaxation; the determinism check is
+            # the integer sum of all distances (equal at both levels)
+            d = shortest_paths(
+                e, list(range(n_src)), weight_col="w", rounds=6,
+                directed=True,
+            )
+            return d.agg(F.sum("dist")).collect()[0][0]
     elif kernel == "minhash":
         from motive_spark.datapipe.dedup import minhash_lsh_candidates
 
