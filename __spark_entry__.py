@@ -675,26 +675,18 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking; ties by (u, v)) with common-neighbor and Adamic-Adar
     scores, under the kernel's DEFAULT auto hub cap (99.9th-percentile
     middle-degree exclusion) — the oracle reproduces the cap from the
-    degree histogram with exact integer arithmetic."""
-    from pyspark.sql import Window
+    degree histogram with exact integer arithmetic.
 
-    from motive_spark.graph import link_prediction_scores
+    Runs through the fused top-k path (cached derivation, packed-key
+    wedge aggregation, broadcast degree/edge-flag lookups, TakeOrdered,
+    caches unpersisted on return) — identical results to the full
+    score-table composition, restructured plan (r5: the naive
+    composition re-derived the co-purchase graph ~6x and paid a
+    two-column aggregation key; see link_prediction_topk's docstring
+    for the same-session A/B numbers)."""
+    from motive_spark.graph import link_prediction_topk
 
-    s = link_prediction_scores(_und(spark, sf_dir)).select(
-        "u",
-        "v",
-        "common_neighbors",
-        F.round("jaccard", 6).alias("jaccard"),
-        F.round("adamic_adar", 6).alias("adamic_adar"),
-        "is_edge",
-    )
-    # distributed top-k (TakeOrdered — per-partition heaps, never a
-    # single-partition sort of the 1e8-pair candidate set); the rank
-    # column is stamped by a window over the 200 survivors only
-    order = [F.desc("jaccard"), F.asc("u"), F.asc("v")]
-    top = s.orderBy(*order).limit(200)
-    w = Window.orderBy(*order)
-    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+    return link_prediction_topk(_und(spark, sf_dir), k=200).orderBy("rank")
 
 
 def q_label_propagation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:

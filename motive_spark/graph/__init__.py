@@ -3,6 +3,7 @@ from motive_spark.graph.metrics import (
     degree_assortativity,
     k_hop_neighborhood,
     link_prediction_scores,
+    link_prediction_topk,
     local_clustering_coefficients,
     random_walks,
 )
@@ -26,5 +27,6 @@ __all__ = [
     "k_hop_neighborhood",
     "random_walks",
     "link_prediction_scores",
+    "link_prediction_topk",
     "write_gml",
 ]

@@ -831,3 +831,46 @@ def test_harmonic_centrality_known_graph(spark):
     assert got[4] == (1_500_000, 3)
     # source 1: dist 0 from itself (excluded), dist 2 from sources 2, 3
     assert got[1] == (1_000_000, 2)
+
+
+def test_link_prediction_topk_matches_full_composition(spark):
+    """The fused top-k path (packed-key agg, broadcast lookups,
+    driver-side rank stamp) returns exactly the rows the full
+    score-table composition would rank first."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.graph import link_prediction_scores, link_prediction_topk
+    from motive_spark.graph.generate import random_edges
+
+    edges = random_edges(spark, n=60, m=400, seed=11, directed=False)
+    want = (
+        link_prediction_scores(edges)
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+            "is_edge",
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(10)
+        .collect()
+    )
+    got = link_prediction_topk(edges, k=10).orderBy("rank").collect()
+    assert [g["rank"] for g in got] == list(range(1, 11))
+    assert [tuple(g)[:6] for g in got] == [tuple(w) for w in want]
+
+
+def test_link_prediction_topk_unpackable_ids(spark):
+    """Vertex ids at/above 2^31 force the two-column aggregation
+    fallback; results still come back ranked."""
+    from motive_spark.graph import link_prediction_topk
+
+    base = 1 << 31
+    pairs = [(base, base + 1), (base + 1, base + 2), (base + 2, base),
+             (base, base + 3), (base + 3, base + 2)]
+    edges = edges_df(spark, pairs)
+    got = link_prediction_topk(edges, k=3).collect()
+    assert len(got) == 3 and got[0]["rank"] == 1
+    assert all(r["u"] >= base for r in got)
