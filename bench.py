@@ -101,6 +101,8 @@ def run_bench() -> dict:
         # single-core numpy canonizer rate vs the reference's ~417
         # samples/s nauty-backed pipeline rate (README.md:118)
         "canon_samples_per_sec": canon_rate,
+        # k=10 I-R refinement canonizer, cold cache, single core
+        "canon10_samples_per_sec": _canon10_throughput(),
     }
     spark.stop()
     return result
@@ -194,6 +196,37 @@ def _canon_throughput(n_samples: int = 200_000, k: int = 5) -> float:
     canonical_batch(masks[:1000], k)  # warm the permutation table cache
     t0 = time.time()
     canonical_batch(masks, k)
+    return round(n_samples / (time.time() - t0), 1)
+
+
+def _canon10_throughput(n_samples: int = 5_000) -> float:
+    """k=10 canonization samples/sec through the I-R refinement path
+    (single driver core, cold cache, unique-heavy batch — the regime
+    the reference pegs at ~417 samples/s, README.md:118).  Random
+    sparse masks: 9-20 edges over C(10,2) pairs, the density sampled
+    motifs actually have."""
+    import random as _random
+
+    import numpy as np
+
+    from motive_spark.motifs.canon import (
+        _canon_refined,
+        canonical_batch,
+        edges_to_mask,
+    )
+
+    rng = _random.Random(7)
+    all_pairs = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    masks = np.array(
+        [
+            edges_to_mask(rng.sample(all_pairs, rng.randint(9, 20)), 10, False)
+            for _ in range(n_samples)
+        ],
+        dtype=np.uint64,
+    )
+    _canon_refined.cache_clear()
+    t0 = time.time()
+    canonical_batch(masks, 10)
     return round(n_samples / (time.time() - t0), 1)
 
 

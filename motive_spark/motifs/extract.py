@@ -62,6 +62,14 @@ class MotifExtractor:
         directed: bool = True,
         vertex_labels: DataFrame | None = None,
     ):
+        from motive_spark.motifs.canon import MAX_BRUTE_K, MAX_K
+
+        if max_size > (MAX_BRUTE_K if directed else MAX_K):
+            raise ValueError(
+                f"max_size={max_size} unsupported: directed motifs cap at "
+                f"k={MAX_BRUTE_K} (two bits per pair overflow a 64-bit mask "
+                f"above that), undirected at k={MAX_K}"
+            )
         self.edges = edges
         self.directed = directed
         self.min_freq = min_freq

@@ -184,7 +184,17 @@ def induced_masks(
     if directed:
         bit = _bit("pi", "pj")
     else:
-        bit = _bit("pi", "pj") + _bit("pj", "pi")
+        # k <= 8 rows use the symmetric k*k-bit layout; k in 9..11 rows
+        # switch to upper-triangle packing (bit ut(i,j), i<j — max
+        # exponent C(11,2)-1 = 54, exact in double), mirroring
+        # motifs.canon.edges_to_mask's per-k dispatch
+        ut = (
+            F.col("pi") * (2 * F.col("k") - F.col("pi") - 1) / 2
+            + (F.col("pj") - F.col("pi") - 1)
+        ).cast("double")
+        bit = F.when(
+            F.col("k") <= 8, _bit("pi", "pj") + _bit("pj", "pi")
+        ).otherwise(F.pow(F.lit(2.0), ut).cast("long"))
     hits = hits.select("occ_id", bit.alias("bit"), F.lit(1).alias("cnt"))
     agg = hits.groupBy("occ_id").agg(
         F.sum("bit").alias("mask"), F.sum("cnt").alias("m_induced")

@@ -285,3 +285,46 @@ def test_sampler_seed_plan_no_single_partition_exchange(spark):
     for r in rows:
         assert len(r.vertices) == 1 and r.vertices[0] in vs
         assert 3 <= r.k <= 5
+
+
+def test_extractor_maxsize_10(spark):
+    """The README's own envelope (--maxsize 10, README.md:49-51): an
+    undirected extraction with k up to 10 samples, canonizes (I-R path
+    for k >= 9, UT masks), counts, and selects — and every occurrence's
+    induced subgraph recanonizes to its motif key."""
+    from motive_spark.motifs import MotifExtractor
+    from motive_spark.motifs.canon import canonical_form, edges_to_mask
+
+    pairs = random_pairs(80, 400, seed=9, directed=False)
+    edges = edges_df(spark, pairs)
+    ex = MotifExtractor(
+        edges, samples=400, min_size=8, max_size=10, min_freq=1,
+        seed=7, directed=False,
+    )
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = ex.occurrences().collect()
+    assert rows and any(r.k >= 9 for r in rows)
+    for r in rows:
+        vs = list(r.vertices)
+        vset = set(vs)
+        local = {v: i for i, v in enumerate(vs)}
+        ind = [
+            (local[a], local[b])
+            for a in vs
+            for b in adj.get(a, ())
+            if b in vset and local[a] < local[b]
+        ]
+        assert canonical_form(edges_to_mask(ind, r.k, False), r.k) == r.canon
+
+
+def test_extractor_directed_above_8_rejected(spark):
+    from motive_spark.motifs import MotifExtractor
+
+    edges = edges_df(spark, [(0, 1), (1, 2)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="directed"):
+        MotifExtractor(edges, samples=10, max_size=9, directed=True)

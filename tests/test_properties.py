@@ -148,3 +148,73 @@ def test_csr_roundtrip_property(spark, salt_chunk, data):
         deg[a] = deg.get(a, 0) + 1
     assert all(r.out_deg == deg[r.src] for r in rows)
     csr.unpersist()
+
+
+def _relabel_pairs(pairs, perm):
+    return [(perm[i], perm[j]) for i, j in pairs]
+
+
+@given(
+    k=st.integers(min_value=9, max_value=11),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_refined_canon_permutation_invariant_large_k(k, data):
+    """k in 9..11 (I-R canonizer, UT masks): canon is invariant under
+    vertex relabeling and idempotent — the shuffled-recanonization
+    property the reference asserts for its nauty port
+    (MotifModelTest.java:383-391), at the sizes its README documents
+    (--maxsize 10, README.md:49-51)."""
+    from motive_spark.motifs.canon import _canon_refined
+
+    all_pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    pairs = data.draw(
+        st.lists(st.sampled_from(all_pairs), min_size=0, max_size=len(all_pairs))
+    )
+    perm = data.draw(st.permutations(range(k)))
+    mask = edges_to_mask(pairs, k, False)
+    c = _canon_refined(mask, k)
+    shuffled = edges_to_mask(_relabel_pairs(pairs, list(perm)), k, False)
+    assert _canon_refined(shuffled, k) == c
+    assert _canon_refined(c, k) == c
+    # same edge count (canonization is a relabeling, not a rewrite)
+    assert bin(c).count("1") == bin(mask).count("1")
+
+
+@given(k=st.integers(min_value=9, max_value=11), data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_ut_mask_roundtrip_large_k(k, data):
+    all_pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    pairs = data.draw(st.lists(st.sampled_from(all_pairs), max_size=20))
+    m = edges_to_mask(pairs, k, False)
+    back = mask_to_edges(m, k, False)
+    assert set(back) == set(pairs)
+    assert edges_to_mask(back, k, False) == m
+    with pytest.raises(ValueError):
+        edges_to_mask(pairs, k, True)
+
+
+@given(k=st.integers(min_value=9, max_value=10), data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_refined_labeled_canon_invariant_large_k(k, data):
+    """Labeled canonization at k in 9..10: relabeling vertices AND
+    permuting their labels consistently yields the identical composite
+    key (mask + label signature)."""
+    from motive_spark.motifs.canon import canonical_labeled_batch
+
+    all_pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    pairs = data.draw(
+        st.lists(st.sampled_from(all_pairs), min_size=k - 1, max_size=20)
+    )
+    labels = data.draw(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=k, max_size=k)
+    )
+    perm = list(data.draw(st.permutations(range(k))))
+    m1 = edges_to_mask(pairs, k, False)
+    cm1, s1 = canonical_labeled_batch(np.array([m1], dtype=np.uint64), [labels], k)
+    m2 = edges_to_mask(_relabel_pairs(pairs, perm), k, False)
+    labels2 = [""] * k
+    for old, new in enumerate(perm):
+        labels2[new] = labels[old]
+    cm2, s2 = canonical_labeled_batch(np.array([m2], dtype=np.uint64), [labels2], k)
+    assert cm1[0] == cm2[0] and s1 == s2
