@@ -670,6 +670,74 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("start", "widx")
 
 
+def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
+    (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
+    per vertex; the DuckDB oracle replays the weighted cumulative-sum
+    pick over the sorted adjacency byte-for-byte."""
+    from motive_spark.graph import node2vec_walks
+
+    return node2vec_walks(
+        _und(spark, sf_dir),
+        walk_length=4,
+        walks_per_vertex=2,
+        seed=7,
+        w_return=1,
+        w_near=2,
+        w_far=4,
+    ).orderBy("start", "widx")
+
+
+def _node2vec_sql() -> str:
+    """Unrolled biased-walk oracle: step 1 uniform index pick, steps
+    2..3 explode sorted neighbors, classify vs prev (LEFT JOIN sym),
+    integer cumulative-sum pick at md5 mod total."""
+    parts = [
+        "WITH " + SQL_GRAPH + """,
+adj AS MATERIALIZED (
+  SELECT src, list(dst ORDER BY dst) AS nbrs, COUNT(*) AS deg
+  FROM sym GROUP BY src
+),
+s1 AS MATERIALIZED (
+  SELECT a.src AS start, w.widx, a.src AS prev,
+         a.nbrs[CAST(('0x' || substr(md5(a.src || '|' || w.widx || '|1|7'), 1, 8))::BIGINT % a.deg AS INT) + 1] AS cur,
+         a.src || '|' || a.nbrs[CAST(('0x' || substr(md5(a.src || '|' || w.widx || '|1|7'), 1, 8))::BIGINT % a.deg AS INT) + 1] AS path
+  FROM adj a CROSS JOIN (VALUES (0), (1)) AS w(widx)
+)"""
+    ]
+    for t in (2, 3):
+        parts.append(
+            f""",x{t} AS MATERIALIZED (
+  SELECT s.start, s.widx, s.prev, s.cur, s.path,
+         UNNEST(a.nbrs) AS x, generate_subscripts(a.nbrs, 1) AS pos
+  FROM s{t - 1} s JOIN adj a ON a.src = s.cur
+),
+w{t} AS MATERIALIZED (
+  SELECT e.start, e.widx, e.cur, e.path, e.x, e.pos,
+         CASE WHEN e.x = e.prev THEN 1
+              WHEN d.src IS NOT NULL THEN 2
+              ELSE 4 END AS wt
+  FROM x{t} e LEFT JOIN sym d ON d.src = e.prev AND d.dst = e.x
+),
+c{t} AS MATERIALIZED (
+  SELECT start, widx, cur, path, x, wt,
+         SUM(wt) OVER (PARTITION BY start, widx ORDER BY pos) AS cum,
+         SUM(wt) OVER (PARTITION BY start, widx) AS tot
+  FROM w{t}
+),
+s{t} AS MATERIALIZED (
+  SELECT start, widx, cur AS prev, x AS cur, path || '|' || x AS path
+  FROM c{t}
+  WHERE cum - wt <= ('0x' || substr(md5(start || '|' || widx || '|{t}|7'), 1, 8))::BIGINT % tot
+    AND ('0x' || substr(md5(start || '|' || widx || '|{t}|7'), 1, 8))::BIGINT % tot < cum
+)"""
+        )
+    parts.append(
+        "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
+    )
+    return "".join(parts)
+
+
 def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-200 link-prediction candidates by Jaccard (rounded BEFORE
     ranking; ties by (u, v)) with common-neighbor and Adamic-Adar
@@ -774,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "graph_harmonic": q_graph_harmonic,
         "graph_random_walks": q_graph_random_walks,
+        "graph_node2vec_walks": q_graph_node2vec_walks,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -878,6 +947,7 @@ s0 AS (
             )
             + "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
         ),
+        "graph_node2vec_walks": _node2vec_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (

@@ -5,6 +5,7 @@ from motive_spark.graph.metrics import (
     link_prediction_scores,
     link_prediction_topk,
     local_clustering_coefficients,
+    node2vec_walks,
     random_walks,
 )
 from motive_spark.graph.normalize import (
@@ -26,6 +27,7 @@ __all__ = [
     "degree_assortativity",
     "k_hop_neighborhood",
     "random_walks",
+    "node2vec_walks",
     "link_prediction_scores",
     "link_prediction_topk",
     "write_gml",

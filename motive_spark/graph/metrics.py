@@ -485,3 +485,219 @@ def link_prediction_topk(
         for i, r in enumerate(rows)
     ]
     return spark.createDataFrame(ranked, schema=schema)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 2,
+    seed: int = 42,
+    w_return: int = 1,
+    w_near: int = 2,
+    w_far: int = 4,
+    directed: bool = False,
+    salt_chunk: int = 4096,
+) -> DataFrame:
+    """Biased second-order (node2vec) random walks — the (p, q)
+    walk corpus generator (Grover & Leskovec 2016) on top of the same
+    salted-CSR layout as :func:`random_walks`.
+
+    Step 1 is uniform over the sorted neighbors (no previous vertex);
+    steps t >= 2 weight each neighbor x of ``cur`` by its relation to
+    ``prev``:
+
+      x == prev            → ``w_return``   (node2vec 1/p)
+      x adjacent to prev   → ``w_near``     (node2vec 1)
+      otherwise            → ``w_far``      (node2vec 1/q)
+
+    Weights are INTEGERS (e.g. p=2, q=0.5 ⇒ (1, 2, 4)) so the weighted
+    pick — r = md5(start|widx|t|seed) mod total, first neighbor in
+    sorted order whose cumulative weight exceeds r — is exact integer
+    arithmetic that a DuckDB oracle replays byte-for-byte.
+
+    Plan shape per biased step: explode the current vertex's CSR
+    chunks (each row <= salt_chunk wide), LEFT-join the symmetric edge
+    table on (prev, x) for the distance-1 flag, then a per-walk window
+    cumulative sum picks the winner.  Per-step cost is
+    sum(deg(cur)) rows — the irreducible cost of second-order biasing
+    (the transition law reads every neighbor's class).  The per-walk
+    window sorts deg(cur) rows in one task; at web scale a 1e8-degree
+    hub therefore bounds a single task's width — cap hub degrees or
+    precompute per-vertex alias tables if that regime matters; the
+    uniform :func:`random_walks` keeps O(1) per step either way.
+    """
+    spark = edges.sparkSession
+    from pyspark.sql import Window
+
+    from motive_spark.graph.csr import build_csr
+
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if directed:
+        sym = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    else:
+        und = undirect(edges)
+        sym = und.select("src", "dst").unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    sym = sym.dropDuplicates(["src", "dst"])
+    csr = build_csr(
+        sym, n_blocks=npart, salt_chunk=salt_chunk, partition_by="src"
+    ).cache()
+    deg = (
+        csr.groupBy(F.col("src").alias("vid"))
+        .agg(F.max("out_deg").alias("deg"))
+        .cache()
+    )
+    chunks = csr.select(F.col("src").alias("csrc"), "salt", "dst_list")
+    edge_flag = sym.select(
+        F.col("src").alias("eprev"), F.col("dst").alias("ex"), F.lit(1).alias("d1")
+    )
+
+    state = (
+        deg.select(F.col("vid").alias("start"))
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("widx"),
+        )
+        .select(
+            "start",
+            "widx",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start").alias("cur"),
+            F.array("start").alias("path"),
+        )
+    )
+
+    def _hash(t):
+        key = F.concat_ws(
+            "|",
+            F.col("start").cast("string"),
+            F.col("widx").cast("string"),
+            F.lit(str(t)),
+            F.lit(str(seed)),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+    for t in range(1, walk_length):
+        if t == 1:
+            # uniform first step: direct global-index lookup, O(1)/walk
+            idx = F.pmod(_hash(t), F.col("deg"))
+            st = state.join(deg, on=[state.cur == deg.vid], how="left").select(
+                "start",
+                "widx",
+                "cur",
+                "path",
+                F.floor(idx / salt_chunk).cast("int").alias("salt_sel"),
+                F.pmod(idx, F.lit(salt_chunk)).cast("int").alias("loc"),
+            )
+            nxt = F.element_at("dst_list", F.col("loc") + 1)
+            state = (
+                st.join(
+                    chunks,
+                    on=[st.cur == chunks.csrc, st.salt_sel == chunks.salt],
+                    how="left",
+                )
+                .select(
+                    "start",
+                    "widx",
+                    F.when(nxt.isNotNull(), F.col("cur"))
+                    .otherwise(F.lit(None).cast("long"))
+                    .alias("prev"),
+                    F.coalesce(nxt, F.col("cur")).alias("cur"),
+                    F.when(nxt.isNotNull(), F.concat("path", F.array(nxt)))
+                    .otherwise(F.col("path"))
+                    .alias("path"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            continue
+        # biased step: explode neighbors, classify vs prev, weighted pick
+        ex = (
+            state.join(chunks, on=[state.cur == chunks.csrc], how="left")
+            .select(
+                "start",
+                "widx",
+                "prev",
+                "cur",
+                "path",
+                (F.col("salt").cast("long") * salt_chunk).alias("base"),
+                F.posexplode_outer("dst_list").alias("loc", "x"),
+            )
+            .select(
+                "start",
+                "widx",
+                "prev",
+                "cur",
+                "path",
+                (F.col("base") + F.col("loc")).alias("pos"),
+                "x",
+            )
+        )
+        ex = ex.join(
+            edge_flag,
+            on=[ex.prev == edge_flag.eprev, ex.x == edge_flag.ex],
+            how="left",
+        ).select(
+            "start",
+            "widx",
+            "prev",
+            "cur",
+            "path",
+            "pos",
+            "x",
+            F.when(F.col("x").isNull(), F.lit(0))
+            .when(F.col("x") == F.col("prev"), F.lit(w_return))
+            .when(F.col("d1").isNotNull(), F.lit(w_near))
+            .otherwise(F.lit(w_far))
+            .alias("wt"),
+        )
+        wwin = Window.partitionBy("start", "widx")
+        cum = F.sum("wt").over(wwin.orderBy("pos"))
+        tot = F.sum("wt").over(wwin)
+        picked = (
+            ex.select(
+                "start",
+                "widx",
+                "cur",
+                "path",
+                "x",
+                "wt",
+                cum.alias("cum"),
+                tot.alias("tot"),
+            )
+            .withColumn("r", F.pmod(_hash(t), F.greatest("tot", F.lit(1))))
+            .where(
+                (F.col("cum") - F.col("wt") <= F.col("r"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select("start", "widx", F.col("x").alias("pick"))
+        )
+        state = (
+            state.join(picked, on=["start", "widx"], how="left")
+            .select(
+                "start",
+                "widx",
+                F.when(F.col("pick").isNotNull(), F.col("cur"))
+                .otherwise(F.lit(None).cast("long"))
+                .alias("prev"),
+                F.coalesce("pick", F.col("cur")).alias("cur"),
+                F.when(
+                    F.col("pick").isNotNull(),
+                    F.concat("path", F.array("pick")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    csr.unpersist()
+    deg.unpersist()
+    return state.select(
+        "start",
+        "widx",
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "|"
+        ).alias("path"),
+    )

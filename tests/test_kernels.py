@@ -874,3 +874,108 @@ def test_link_prediction_topk_unpackable_ids(spark):
     got = link_prediction_topk(edges, k=3).collect()
     assert len(got) == 3 and got[0]["rank"] == 1
     assert all(r["u"] >= base for r in got)
+
+
+def _py_node2vec(pairs, walk_length, walks_per_vertex, seed, wr, wn, wf):
+    """Driver-side reference replay of node2vec_walks' exact arithmetic."""
+    import hashlib
+
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbrs = {v: sorted(s) for v, s in adj.items()}
+
+    def h(start, widx, t):
+        key = f"{start}|{widx}|{t}|{seed}".encode()
+        return int(hashlib.md5(key).hexdigest()[:8], 16)
+
+    out = {}
+    for start in nbrs:
+        for widx in range(walks_per_vertex):
+            path = [start]
+            prev, cur = None, start
+            for t in range(1, walk_length):
+                ns = nbrs.get(cur, [])
+                if not ns:
+                    continue
+                if t == 1 or prev is None:
+                    nxt = ns[h(start, widx, t) % len(ns)]
+                else:
+                    wts = [
+                        wr if x == prev else (wn if x in adj[prev] else wf)
+                        for x in ns
+                    ]
+                    r = h(start, widx, t) % sum(wts)
+                    acc = 0
+                    for x, w in zip(ns, wts):
+                        acc += w
+                        if r < acc:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                path.append(nxt)
+            out[(start, widx)] = "|".join(str(v) for v in path)
+    return out
+
+
+def test_node2vec_walks_match_reference_replay(spark):
+    """Spark's distributed biased pick (chunked explode + window cumsum)
+    reproduces the per-walk sequential weighted choice exactly."""
+    from motive_spark.graph import node2vec_walks
+
+    pairs = random_pairs(40, 120, seed=3, directed=False)
+    edges = edges_df(spark, pairs)
+    got = {
+        (r.start, r.widx): r.path
+        for r in node2vec_walks(
+            edges, walk_length=4, walks_per_vertex=2, seed=9,
+            w_return=1, w_near=2, w_far=4,
+        ).collect()
+    }
+    want = _py_node2vec(pairs, 4, 2, 9, 1, 2, 4)
+    assert got == want
+
+
+def test_node2vec_bias_direction(spark):
+    """Sanity on the bias itself: a huge return weight makes walks
+    bounce back to prev far more often than a huge outward weight."""
+    from motive_spark.graph import node2vec_walks
+
+    pairs = random_pairs(30, 90, seed=4, directed=False)
+    edges = edges_df(spark, pairs)
+
+    def return_rate(wr, wf):
+        rows = node2vec_walks(
+            edges, walk_length=4, walks_per_vertex=4, seed=2,
+            w_return=wr, w_near=1, w_far=wf,
+        ).collect()
+        bounce = tot = 0
+        for r in rows:
+            p = r.path.split("|")
+            for i in range(2, len(p)):
+                tot += 1
+                bounce += p[i] == p[i - 2]
+        return bounce / max(tot, 1)
+
+    assert return_rate(50, 1) > 3 * return_rate(1, 50)
+
+
+def test_node2vec_salted_chunks_consistent(spark):
+    """salt_chunk small enough to split every adjacency list must not
+    change any walk (global-position cumsum spans chunks)."""
+    from motive_spark.graph import node2vec_walks
+
+    pairs = random_pairs(25, 80, seed=6, directed=False)
+    edges = edges_df(spark, pairs)
+    big = {
+        (r.start, r.widx): r.path
+        for r in node2vec_walks(edges, seed=5, salt_chunk=4096).collect()
+    }
+    small = {
+        (r.start, r.widx): r.path
+        for r in node2vec_walks(edges, seed=5, salt_chunk=2).collect()
+    }
+    assert big == small
