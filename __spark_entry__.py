@@ -1642,6 +1642,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("content_key")
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join enrichment: streaming events joined per
+    micro-batch against the static broadcast customer dimension,
+    aggregated per (segment, event_type), drained exactly-once
+    (availableNow + foreachBatch parquet) — third streaming contract
+    row; batch-order-independent, so DuckDB replays it as a plain
+    JOIN + GROUP BY."""
+    from motive_spark.streaming import stream_static_enriched_counts
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return stream_static_enriched_counts(
+        spark, f"{sf_dir}/events.parquet", customers
+    ).orderBy("c_mktsegment", "event_type")
+
+
 def q_orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-priority price percentiles from the cents histogram —
     no per-group sort; integer target ranks, bit-exact cross-engine."""
@@ -1873,6 +1888,7 @@ _DATAPIPE_QUERIES = {
     "motif_k3_er_factors": q_motif_k3_er_factors,
     "motif_planted_factors": q_motif_planted_factors,
     "stream_dedup": q_stream_dedup,
+    "stream_enrich": q_stream_enrich,
     "events_sessionize": q_events_sessionize,
     "events_asof_clicks": q_events_asof_clicks,
     "events_windowed_counts": q_events_windowed_counts,
@@ -2058,6 +2074,15 @@ SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_key,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1 ORDER BY 1""",
+    # stream-static join drain == batch JOIN + GROUP BY
+    "stream_enrich": """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       MIN(e.event_id) AS first_event_id
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sessionize": """
 WITH x AS (
   SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -133,6 +133,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_sssp",
                     "graph_harmonic",
                     "stream_dedup",
+                    "stream_enrich",
                     "kmeans_embeddings",
                     "events_sessionize",
                     "events_asof_clicks",

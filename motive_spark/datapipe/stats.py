@@ -49,7 +49,10 @@ def group_percentiles(
     )
     aggs = [F.max("n").alias("n_rows")]
     for name, num, den in percentiles:
-        target = F.floor((num * F.col("n") + den - 1) / den)
+        # exact integer ceil-division via the SQL DIV operator on longs
+        # (F.floor of a double quotient loses exactness once num*n
+        # passes 2^53 — a billion-row group at p=19/20 is within reach)
+        target = F.expr(f"({num}L * n + {den - 1}L) DIV {den}L")
         aggs.append(
             F.min(F.when(F.col("cum") >= target, F.col("v"))).alias(name)
         )

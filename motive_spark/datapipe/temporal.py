@@ -127,6 +127,15 @@ def asof_join(
         right_cols = [
             c for c in right.columns if c not in (key, right_ts)
         ]
+    reserved = {"_us", "_tag", "_payload", "_m", "_r_us"}
+    clash = reserved & (set(left.columns) | set(right_cols))
+    if clash:
+        # silently overwriting a caller's _us/_tag would corrupt the
+        # columns echoed back from left.columns — fail loudly instead
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename conflicting input columns: {sorted(clash)}"
+        )
     l_us = _micros(left, left_ts)
     r_us = _micros(right, right_ts)
     lt = left.withColumn("_us", l_us).withColumn("_tag", F.lit(1))

@@ -70,6 +70,10 @@ def connected_components(
             .dropDuplicates(["src", "dst"])
             .repartition(npart, "dst")
         )
+    else:
+        from motive_spark.kernels.guards import check_pre_partitioned
+
+        check_pre_partitioned(sym, npart, "connected_components")
     sym = sym.cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
     if strategy == "auto":

@@ -57,6 +57,10 @@ def label_propagation(
             .dropDuplicates(["src", "dst"])
             .repartition(npart, "dst")
         )
+    else:
+        from motive_spark.kernels.guards import check_pre_partitioned
+
+        check_pre_partitioned(sym, npart, "label_propagation")
     sym = sym.cache()
     verts = sym.select(F.col("src").alias("id")).distinct()
     if strategy == "auto":

@@ -92,6 +92,12 @@ def pagerank(
     e = edges.select("src", "dst")
     if not pre_partitioned:
         e = e.repartition(npart, "src")
+    else:
+        from motive_spark.kernels.guards import check_pre_partitioned
+
+        # pagerank consumes the DIRECTED edge table: dedup + bucketing
+        # are the contract, symmetry is not
+        check_pre_partitioned(e, npart, "pagerank", require_symmetric=False)
     e = e.cache()
     verts = (
         e.select(F.col("src").alias("id"))

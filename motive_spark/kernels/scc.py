@@ -51,11 +51,15 @@ def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = 100,
     max_trim_rounds: int = 200,
+    strict: bool = False,
 ) -> DataFrame:
     """Returns (id, scc) over the directed simple graph; ``scc`` is the
     smallest vertex id of the component.  ``scc`` is NULL only when the
     algorithm hit ``max_outer`` peel rounds before finishing (a warning
-    is emitted; the labeled prefix is exact)."""
+    is emitted; the labeled prefix is exact).  Pass ``strict=True`` to
+    RAISE instead of returning the partial labeling — for callers that
+    would otherwise groupBy(scc) and silently lump every undetermined
+    vertex into one NULL pseudo-component."""
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -202,8 +206,15 @@ def strongly_connected_components(
 
     # completion is detected by rem_v emptiness AFTER the loop (a graph
     # that fully peels on exactly the max_outer-th round is complete);
-    # anything left gets an honest NULL label + a warning, never a raise
+    # anything left gets an honest NULL label + a warning (or a raise
+    # under strict=True)
     if rem_v.limit(1).count() > 0:
+        if strict:
+            raise RuntimeError(
+                "strongly_connected_components: SCC-DAG deeper than "
+                f"max_outer={max_outer} (strict=True); raise max_outer "
+                "or accept a partial labeling with strict=False"
+            )
         warnings.warn(
             "strongly_connected_components: SCC-DAG deeper than "
             f"max_outer={max_outer}; returning a partial labeling "

@@ -2,6 +2,7 @@ from motive_spark.streaming.ingest import (
     running_degrees_stream,
     stream_dedup_docs,
     stream_prefix_dedup_groups,
+    stream_static_enriched_counts,
     stream_windowed_event_counts,
     stream_edges,
     windowed_edge_counts,
@@ -13,5 +14,6 @@ __all__ = [
     "running_degrees_stream",
     "stream_dedup_docs",
     "stream_prefix_dedup_groups",
+    "stream_static_enriched_counts",
     "stream_windowed_event_counts",
 ]

@@ -117,6 +117,24 @@ def running_degrees_stream(edges: DataFrame) -> DataFrame:
     )
 
 
+_DRAIN_ROOT: str | None = None
+
+
+def _drain_root() -> str:
+    """One managed temp root per process for every drain/stream-source
+    scratch dir (instead of mkdtemp litter all over the temp dir); the
+    whole tree is removed at interpreter exit."""
+    global _DRAIN_ROOT
+    if _DRAIN_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _DRAIN_ROOT = tempfile.mkdtemp(prefix="motive_spark_streams_")
+        atexit.register(shutil.rmtree, _DRAIN_ROOT, True)
+    return _DRAIN_ROOT
+
+
 def _as_stream_dir(input_path: str) -> str:
     """The file stream source requires a DIRECTORY basePath; expose a
     single-file input through a symlinked temp dir (no data copy)."""
@@ -125,7 +143,7 @@ def _as_stream_dir(input_path: str) -> str:
 
     if not os.path.isfile(input_path):
         return input_path
-    d = tempfile.mkdtemp(prefix="stream_src_")
+    d = tempfile.mkdtemp(prefix="src_", dir=_drain_root())
     os.symlink(
         os.path.abspath(input_path),
         os.path.join(d, os.path.basename(input_path)),
@@ -137,12 +155,23 @@ def _drain_complete_to_parquet(agg: DataFrame) -> DataFrame:
     """Run a complete-mode streaming aggregation to end-of-backlog
     (availableNow) through a foreachBatch parquet sink and return the
     final static table — the exactly-once batch-drain shape shared by
-    the streaming contract rows."""
+    the streaming contract rows.
+
+    The sink dir is seeded with an EMPTY frame of the aggregation's
+    schema before the stream starts, so a source that yields zero
+    micro-batches returns an empty result instead of an unrelated
+    'unable to infer schema' read failure; the checkpoint dir is
+    removed once the drain finishes (the out dir lives until process
+    exit — the returned DataFrame reads from it lazily)."""
+    import shutil
     import tempfile
 
     spark = agg.sparkSession
-    out_dir = tempfile.mkdtemp(prefix="stream_drain_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_drain_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="out_", dir=_drain_root())
+    ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=_drain_root())
+    spark.createDataFrame([], agg.schema).write.mode("overwrite").parquet(
+        out_dir
+    )
 
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
         # complete mode: each epoch carries the full state; the last
@@ -157,7 +186,48 @@ def _drain_complete_to_parquet(agg: DataFrame) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+def stream_static_enriched_counts(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    dim_key: str = "c_custkey",
+    stream_key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join enrichment, drained exactly-once: a streaming
+    event source joined per micro-batch against a STATIC broadcast
+    dimension table (the standard enrichment topology — the static side
+    is re-read per batch by Spark, no state), then a complete-mode
+    aggregation per (c_mktsegment, event_type).
+
+    Returns (c_mktsegment, event_type, n_events, sum_value_cents,
+    first_event_id) — deterministic regardless of micro-batch slicing
+    (the aggregation commutes with batch order), so a DuckDB oracle
+    replays it as a plain JOIN + GROUP BY.  Value sums are integer
+    cents (cross-engine exact).  At scale the broadcast holds for
+    dimension tables that fit an executor (customers, vocabularies);
+    bigger dims shuffle-join each micro-batch instead (drop the
+    broadcast hint)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(
+        _as_stream_dir(events_path)
+    )
+    d = dim.select(
+        F.col(dim_key).alias(stream_key),
+        "c_mktsegment",
+    )
+    enriched = stream.join(F.broadcast(d), on=stream_key, how="left")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.min("event_id").alias("first_event_id"),
+    )
+    return _drain_complete_to_parquet(agg)
 
 
 def stream_windowed_event_counts(

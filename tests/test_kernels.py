@@ -979,3 +979,73 @@ def test_node2vec_salted_chunks_consistent(spark):
         for r in node2vec_walks(edges, seed=5, salt_chunk=2).collect()
     }
     assert big == small
+
+
+def test_pre_partitioned_guard(spark):
+    """pre_partitioned=True misuse fails loudly under the validation
+    flag: unsymmetrized input raises; a properly prepared table passes."""
+    from motive_spark.kernels import connected_components
+
+    spark.conf.set("motive_spark.validate.prePartitioned", "true")
+    try:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        one_way = edges_df(spark, [(0, 1), (1, 2), (2, 3)]).repartition(
+            npart, "dst"
+        )
+        with pytest.raises(ValueError, match="not symmetrized"):
+            connected_components(one_way, pre_partitioned=True).collect()
+        sym = (
+            one_way.union(
+                one_way.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .repartition(npart, "dst")
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(sym, pre_partitioned=True).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    finally:
+        spark.conf.set("motive_spark.validate.prePartitioned", "false")
+
+
+def test_pre_partitioned_partition_mismatch_warns(spark):
+    import warnings as _warnings
+
+    from motive_spark.kernels import connected_components
+
+    e = edges_df(spark, [(0, 1), (1, 0)]).repartition(3, "dst")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        connected_components(e, pre_partitioned=True).collect()
+    assert any("re-shuffle" in str(x.message) for x in w)
+
+
+def test_scc_strict_raises_on_overflow(spark):
+    from motive_spark.kernels import strongly_connected_components
+
+    # chain of 2-cycles: many peel rounds; max_outer=1 cannot finish
+    pairs = []
+    for i in range(6):
+        a, b = 2 * i, 2 * i + 1
+        pairs += [(a, b), (b, a)]
+        if i:
+            pairs.append((2 * (i - 1), a))
+    e = edges_df(spark, pairs)
+    with pytest.raises(RuntimeError, match="strict"):
+        strongly_connected_components(e, max_outer=1, strict=True).collect()
+
+
+def test_asof_join_reserved_name_collision_raises(spark):
+    from motive_spark.datapipe import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 5)], "k long, ts string, _tag long"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "_tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k long, ts string, px double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "px")
+    with pytest.raises(ValueError, match="_tag"):
+        asof_join(left, right, key="k")

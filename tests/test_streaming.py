@@ -277,3 +277,79 @@ def test_stream_prefix_dedup_groups_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert len(single) >= 1 and all(v[0] >= 1 for v in single.values())
+
+
+def test_stream_static_enrichment_batch_sliced(spark, tmp_path):
+    """Stream-static join enrichment: the drained result is identical
+    whether the event backlog arrives as one micro-batch or file-by-
+    file, and matches the static join+groupBy."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.streaming import stream_static_enriched_counts
+    from motive_spark.streaming.ingest import _as_stream_dir, _drain_root
+
+    events = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:0{i % 6}:00", i % 4, ["click", "buy"][i % 2],
+             1.5 * i)
+            for i in range(24)
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+             "event_type", "value")
+    src = str(tmp_path / "events")
+    events.repartition(4).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(u, f"cust{u}", seg) for u, seg in [(0, "A"), (1, "A"), (2, "B")]],
+        "c_custkey long, c_name string, c_mktsegment string",
+    )
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value_cents,
+                                         r.first_event_id)
+        for r in stream_static_enriched_counts(spark, src, dim).collect()
+    }
+    want = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.sum_value_cents,
+                                         r.first_event_id)
+        for r in events.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            on="user_id", how="left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+             F.min("event_id").alias("first_event_id"))
+        .collect()
+    }
+    assert got == want
+    # user 3 has no dim row -> NULL segment bucket present (left join)
+    assert any(k[0] is None for k in got)
+
+
+def test_drain_empty_source_returns_empty_frame(spark, tmp_path):
+    """A source directory with a zero-row parquet yields an empty
+    result with the aggregation schema (not an 'unable to infer
+    schema' failure), and drain scratch dirs live under one managed
+    root."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from motive_spark.streaming import stream_static_enriched_counts
+    from motive_spark.streaming.ingest import _drain_root
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "empty_events")
+    empty.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "x", "A")], "c_custkey long, c_name string, c_mktsegment string"
+    )
+    out = stream_static_enriched_counts(spark, src, dim)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "c_mktsegment", "event_type", "n_events", "sum_value_cents",
+        "first_event_id",
+    }
+    root = _drain_root()
+    assert os.path.isdir(root) and len(os.listdir(root)) > 0
