@@ -134,7 +134,8 @@ def pagerank(
             ew = ew.repartition(npart, "src")
         ew = ew.cache()
         ew.count()
-    csr = zeros = dang_ids = None
+    csr = zeros = dang_ids = csr2 = None
+    nb_dst = 0
     if strategy == "csr":
         from motive_spark.graph.csr import build_csr
 
@@ -144,14 +145,25 @@ def pagerank(
             F.col("id").alias("vid"), F.lit(0.0).alias("w")
         ).cache()
         zeros.count()
-        if has_dangling:
-            dang_ids = (
-                base.where(F.col("out_deg") == 0)
-                .select("id")
-                .repartition(npart, "id")
-                .cache()
-            )
-            dang_ids.count()
+    elif strategy == "csr2d":
+        # dst-block-aligned adjacency: the contribution shuffle is
+        # bounded by ~|V| rows (map-side partial agg compacts within
+        # each block's vertex range) at the price of replicating the
+        # |V|-row value table nb_dst = sqrt(P) times — the winning
+        # trade when average degree exceeds 2*sqrt(P) (csr.py).
+        from motive_spark.graph.csr import build_csr_2d
+
+        nb_dst = max(1, int(round(npart**0.5)))
+        csr2 = build_csr_2d(e, nb_dst, n_blocks=npart).cache()
+        csr2.count()
+    if strategy in ("csr", "csr2d") and has_dangling:
+        dang_ids = (
+            base.where(F.col("out_deg") == 0)
+            .select("id")
+            .repartition(npart, "id")
+            .cache()
+        )
+        dang_ids.count()
 
     ckpt = CheckpointManager(spark, checkpoint_dir)
     start_iter = 0
@@ -199,6 +211,24 @@ def pagerank(
                 ranks.join(base, on="id")
                 .where(F.col("out_deg") == 0)
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+            )
+        elif strategy == "csr2d":
+            from motive_spark.graph.csr import gather_sum_2d
+
+            values = (
+                ranks.join(base, on="id")
+                .where(F.col("out_deg") > 0)
+                .select("id", (F.col("rank") / F.col("out_deg")).alias("value"))
+            )
+            contribs = gather_sum_2d(csr2, values, nb_dst).select(
+                F.col("id").alias("vid"), F.col("gathered").alias("recv")
+            )
+            dang = (
+                ranks.join(dang_ids.hint("shuffle_hash"), on="id").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
+                )
+                if has_dangling
+                else None
             )
         else:  # csr — single-exchange superstep
             contrib = csr.join(
@@ -266,7 +296,7 @@ def pagerank(
     # back to the source scan, still correct.
     e.unpersist()
     base.unpersist()
-    for extra in (ew, csr, zeros, dang_ids):
+    for extra in (ew, csr, zeros, dang_ids, csr2):
         if extra is not None:
             extra.unpersist()
     if counters_out is not None:

@@ -335,3 +335,54 @@ def test_cc_lp_pre_partitioned_bucketed_equivalence(spark):
         assert lp_b == lp_p
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_sym_edges")
+
+
+def test_pagerank_csr2d_matches_broadcast(spark):
+    """strategy='csr2d' (block-aligned 2D gather) reproduces broadcast
+    ranks to 1e-12, dangling vertices included."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.kernels import pagerank
+
+    pairs = random_pairs(80, 900, seed=21) + [(99, 0)]  # 99 is dangling-ish
+    e = edges_df(spark, pairs)
+    a = {r.id: r.rank for r in pagerank(e, max_iter=8, tol=None,
+                                        strategy="broadcast").collect()}
+    b = {r.id: r.rank for r in pagerank(e, max_iter=8, tol=None,
+                                        strategy="csr2d").collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+
+
+def test_gather_sum_2d_csr_side_stationary(spark):
+    """The 2D gather's physical plan: the dst_block-partitioned CSR side
+    feeds the join with NO live exchange (only the replicated value
+    table moves), and the contribution aggregation partial-aggregates
+    before its exchange (map-side compaction — the ~|V| shuffle bound)."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.graph.csr import build_csr_2d, gather_sum_2d
+
+    e = edges_df(spark, random_pairs(60, 500, seed=3))
+    nb = 4
+    csr2 = build_csr_2d(e, nb).cache()
+    csr2.count()
+    vals = (
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.lit(1.0).alias("value"))
+        .localCheckpoint(eager=True)
+    )
+    out = gather_sum_2d(csr2, vals, nb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    live = plan.split("InMemoryRelation")[0]
+    # exchanges on the live path: one for the replicated value table, one
+    # for the final aggregation; the cached CSR side contributes none
+    assert live.count("Exchange ") <= 2, plan
+    assert "ShuffledHashJoin" in plan
+    assert "partial_sum" in plan or "HashAggregate" in live, plan
+    # correctness: gathered == in-degree (value 1 per in-neighbor)
+    want = {r.dst: r.c for r in
+            e.groupBy("dst").agg(F.count(F.lit(1)).alias("c")).collect()}
+    got = {r.id: r.gathered for r in out.collect()}
+    assert got == {k: float(v) for k, v in want.items()}
+    csr2.unpersist()
