@@ -218,3 +218,114 @@ def test_refined_labeled_canon_invariant_large_k(k, data):
         labels2[new] = labels[old]
     cm2, s2 = canonical_labeled_batch(np.array([m2], dtype=np.uint64), [labels2], k)
     assert cm1[0] == cm2[0] and s1 == s2
+
+
+@given(data=st.data(), tol=st.sampled_from([None, 5, 60]))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pandas_merge_asof(spark, data, tol):
+    """asof_join (union-tag window plan) == pandas merge_asof
+    (backward, by=key, optional tolerance) on random event sets."""
+    import pandas as pd
+
+    from motive_spark.datapipe import asof_join
+
+    def events(n_max, label):
+        return data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, 2),              # key
+                    st.integers(0, 300),            # seconds offset
+                    st.integers(-50, 50),           # payload
+                ),
+                min_size=1,
+                max_size=n_max,
+            ),
+            label=label,
+        )
+
+    lraw = events(15, "left")
+    rraw = events(15, "right")
+    # dedupe right on (key, ts) — the documented determinism precondition
+    rdict = {(k, s): v for k, s, v in rraw}
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "k": [k for k, _, _ in lraw],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _ in lraw],
+            "lv": [v for _, _, v in lraw],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "k": [k for k, _ in rdict],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in rdict],
+            "rv": list(rdict.values()),
+        }
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = asof_join(
+        left, right, key="k", tolerance_seconds=tol
+    ).toPandas()
+    want = pd.merge_asof(
+        lpdf.sort_values(["ts", "k", "lv"]).reset_index(drop=True),
+        rpdf.sort_values("ts").reset_index(drop=True),
+        on="ts",
+        by="k",
+        direction="backward",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    gs = sorted(
+        (r.k, r.ts.isoformat(), r.lv,
+         None if pd.isna(r.asof_rv) else int(r.asof_rv))
+        for r in got.itertuples()
+    )
+    ws = sorted(
+        (r.k, r.ts.isoformat(), r.lv,
+         None if pd.isna(r.rv) else int(r.rv))
+        for r in want.itertuples()
+    )
+    assert gs == ws
+
+
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_percentiles_match_numpy(spark, data):
+    """group_percentiles (histogram cumsum, integer ceil-rank) == the
+    rank-definition percentile computed per group in numpy: value at
+    index ceil(p*n)-1 of the sorted values."""
+    import math
+
+    from motive_spark.datapipe import group_percentiles
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    df = spark.createDataFrame(rows, "g long, v long")
+    pcts = [("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)]
+    got = {
+        r.g: (r.n_rows, r.p25, r.p50, r.p95)
+        for r in group_percentiles(df, "g", "v", percentiles=pcts).collect()
+    }
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        want = tuple(
+            vs[max(0, math.ceil(num * n / den) - 1)] for _, num, den in pcts
+        )
+        assert got[g] == (n,) + want, (g, got[g], (n,) + want)
