@@ -104,6 +104,97 @@ l{i} AS MATERIALIZED (
     return "\n".join(parts)
 
 
+def _modularity_sql() -> str:
+    """Label-propagation communities (the unrolled LP oracle) fed into
+    the per-community modularity decomposition — float terms are pure
+    per-row expressions of exact integers (x*x, not pow)."""
+    lp = _labelprop_sql()
+    body = lp[: lp.rindex("\nSELECT id, label")]
+    return (
+        body
+        + f""",
+lab AS MATERIALIZED (SELECT id, label AS community FROM l{LP_ITERS}),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+mm AS (SELECT COUNT(*) AS m FROM und),
+dc AS (
+  SELECT community, COUNT(*) AS n_nodes, SUM(deg) AS deg_sum
+  FROM lab JOIN deg USING (id) GROUP BY community
+),
+ein AS (
+  SELECT a.community, COUNT(*) AS e_in
+  FROM und e JOIN lab a ON e.src = a.id JOIN lab b ON e.dst = b.id
+  WHERE a.community = b.community GROUP BY a.community
+)
+SELECT d.community, d.n_nodes, CAST(d.deg_sum AS BIGINT) AS deg_sum,
+       CAST(COALESCE(i.e_in, 0) AS BIGINT) AS e_in,
+       ROUND(
+         COALESCE(i.e_in, 0) / (SELECT CAST(m AS DOUBLE) FROM mm)
+         - (d.deg_sum / (2.0 * (SELECT m FROM mm)))
+           * (d.deg_sum / (2.0 * (SELECT m FROM mm))),
+         6
+       ) AS q_contrib
+FROM dc d LEFT JOIN ein i USING (community) ORDER BY d.community"""
+    )
+
+
+COLOR_ROUNDS = 6
+COLOR_SEED = 11
+
+
+def _coloring_sql() -> str:
+    """Unrolled deterministic Jones–Plassmann rounds: md5*2^31+id
+    priorities, strict-max winners, smallest free color via
+    range-unnest anti-join — the same relational formulation as the
+    kernel, replayed exactly."""
+    parts = [
+        "WITH " + SQL_GRAPH + f""",
+s0 AS MATERIALIZED (
+  SELECT id,
+         ('0x' || substr(md5(id || '|{COLOR_SEED}'), 1, 8))::BIGINT
+           * 2147483648 + id AS pri,
+         CAST(NULL AS BIGINT) AS color
+  FROM verts
+)"""
+    ]
+    for t in range(1, COLOR_ROUNDS + 1):
+        p = f"s{t - 1}"
+        parts.append(
+            f""",u{t} AS MATERIALIZED (SELECT id, pri FROM {p} WHERE color IS NULL),
+n{t} AS (
+  SELECT e.src, MAX(b.pri) AS mx
+  FROM sym e JOIN u{t} a ON e.src = a.id JOIN u{t} b ON e.dst = b.id
+  GROUP BY e.src
+),
+w{t} AS MATERIALIZED (
+  SELECT a.id FROM u{t} a LEFT JOIN n{t} n ON n.src = a.id
+  WHERE n.src IS NULL OR a.pri > n.mx
+),
+us{t} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS id, c.color AS ncolor
+  FROM w{t} v JOIN sym e ON e.src = v.id
+  JOIN {p} c ON c.id = e.dst AND c.color IS NOT NULL
+),
+nu{t} AS (SELECT id, COUNT(*) AS n_used FROM us{t} GROUP BY id),
+cd{t} AS (
+  SELECT id, UNNEST(range(0, COALESCE(n_used, 0) + 1)) AS c
+  FROM w{t} LEFT JOIN nu{t} USING (id)
+),
+f{t} AS (
+  SELECT c.id, MIN(c.c) AS new_color
+  FROM cd{t} c LEFT JOIN us{t} u ON u.id = c.id AND u.ncolor = c.c
+  WHERE u.id IS NULL GROUP BY c.id
+),
+s{t} AS MATERIALIZED (
+  SELECT s.id, s.pri, COALESCE(s.color, f.new_color) AS color
+  FROM {p} s LEFT JOIN f{t} f USING (id)
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, color FROM s{COLOR_ROUNDS} ORDER BY id"
+    )
+    return "".join(parts)
+
+
 def _ppr_sql(n_seeds: int = 5) -> str:
     """Unrolled personalized PageRank over the DIRECTED src<dst
     co-purchase orientation, restart mass on the n_seeds smallest ids —
@@ -670,6 +761,31 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("start", "widx")
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity of the label-propagation
+    partition (4 synchronous rounds) — community quality scoring over
+    the kernel output; float terms are per-row expressions of exact
+    integers, so the oracle matches bit-for-bit."""
+    from motive_spark.graph import community_modularity
+    from motive_spark.kernels import label_propagation
+
+    und = _und(spark, sf_dir).cache()
+    labels = label_propagation(und, iters=LP_ITERS)
+    return community_modularity(und, labels).orderBy("community")
+
+
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Jones–Plassmann greedy coloring, 6 rounds —
+    md5-priority strict-max winners take the smallest free color;
+    vertices not yet reached stay NULL (fixed-round contract, same
+    convention as seeded LP)."""
+    from motive_spark.kernels import greedy_coloring
+
+    return greedy_coloring(
+        _und(spark, sf_dir), rounds=COLOR_ROUNDS, seed=COLOR_SEED
+    ).orderBy("id")
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
     (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
@@ -843,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "graph_random_walks": q_graph_random_walks,
         "graph_node2vec_walks": q_graph_node2vec_walks,
+        "graph_modularity": q_graph_modularity,
+        "graph_coloring": q_graph_coloring,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -948,6 +1066,8 @@ s0 AS (
             + "\nSELECT start, widx, path FROM s3 ORDER BY start, widx"
         ),
         "graph_node2vec_walks": _node2vec_sql(),
+        "graph_modularity": _modularity_sql(),
+        "graph_coloring": _coloring_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (
@@ -1687,6 +1807,72 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY, top_k=20).orderBy("rank")
 
 
+def q_text_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine 'more like this': top-10 similar docs per query
+    doc (doc_id < 5); idf quantized to integer thousandths so every
+    weight/norm/dot is an exact integer sum — only the final cosine is
+    a float, per-row from exact longs, rounded before ranking."""
+    from motive_spark.datapipe import tfidf_similar_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # driver corpus has a dense 31-token vocabulary (median df 388/500),
+    # so the stopword df-cap sits at 0.8: it still drops the most-common
+    # token (df 402 > 400 = floor(500*0.8)) — the guard is exercised —
+    # while leaving a real candidate set to score
+    return tfidf_similar_docs(
+        docs, n_queries=5, top_k=10, max_df_frac=0.8
+    ).orderBy("query_id", "rank")
+
+
+def _tfidf_similar_sql(
+    n_queries: int = 5, top_k: int = 10, max_df_frac: float = 0.25
+) -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+df AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+  HAVING COUNT(*) <= GREATEST(1, CAST(FLOOR((SELECT n FROM nn) * {max_df_frac}) AS BIGINT))
+),
+w AS MATERIALIZED (
+  SELECT t.doc_id, t.tok,
+         t.tf * CAST(round(1000.0 * ln(((SELECT n FROM nn) + 1.0) / (d.df + 1.0))) AS BIGINT) AS wt
+  FROM tf t JOIN df d USING (tok)
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, SUM(wt * wt) AS norm_sq FROM w GROUP BY doc_id
+),
+qw AS (SELECT doc_id AS query_id, tok, wt AS qwt FROM w WHERE doc_id < {n_queries}),
+dots AS (
+  SELECT q.query_id, w.doc_id, SUM(q.qwt * w.wt) AS dot
+  FROM qw q JOIN w ON q.tok = w.tok
+  WHERE w.doc_id <> q.query_id
+  GROUP BY q.query_id, w.doc_id
+),
+scored AS (
+  SELECT d.query_id, d.doc_id,
+         ROUND(d.dot / (sqrt(nq.norm_sq) * sqrt(nd.norm_sq)), 6) AS cos
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.query_id
+  JOIN norms nd ON nd.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id ASC) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS INT) AS rank, cos
+FROM ranked WHERE rank <= {top_k} ORDER BY query_id, rank"""
+
+
 def _bm25_sql(
     terms: list[str] | None = None,
     k1: float = 1.2,
@@ -1895,6 +2081,7 @@ _DATAPIPE_QUERIES = {
     "events_props_json": q_events_props_json,
     "kmeans_embeddings": q_kmeans_embeddings,
     "text_bm25": q_text_bm25,
+    "text_tfidf_similar": q_text_tfidf_similar,
     "orders_percentiles": q_orders_percentiles,
 }
 
@@ -2140,6 +2327,7 @@ SELECT CAST(props->>'$.k' AS BIGINT) AS k,
 FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_embeddings": _kmeans_sql(),
     "text_bm25": _bm25_sql(),
+    "text_tfidf_similar": _tfidf_similar_sql(max_df_frac=0.8),
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout
     "orders_percentiles": """

@@ -35,6 +35,7 @@ from motive_spark.datapipe.text import (
     document_fingerprint,
     gopher_quality_filter,
     quality_scores,
+    tfidf_similar_docs,
     token_stats,
 )
 
@@ -51,6 +52,7 @@ __all__ = [
     "embedding_near_duplicates",
     "token_stats",
     "bm25_topk",
+    "tfidf_similar_docs",
     "quality_scores",
     "detect_language",
     "detect_language_ngram",

@@ -358,3 +358,89 @@ def gopher_quality_filter(
         r9.alias("rule_alpha_words"),
         (r1 & r2 & r3 & r4 & r5 & r6 & r7 & r8 & r9).alias("passes"),
     )
+
+
+def tfidf_similar_docs(
+    docs: DataFrame,
+    n_queries: int = 5,
+    top_k: int = 10,
+    max_df_frac: float = 0.25,
+) -> DataFrame:
+    """TF-IDF cosine document-to-document retrieval: for each query doc
+    (doc_id < ``n_queries``), the ``top_k`` most similar corpus docs —
+    the "more like this" mining primitive (near-topic expansion of a
+    seed set) next to the fixed-query BM25.
+
+    Exactness strategy: idf = ln((N+1)/(df+1)) is QUANTIZED to integer
+    thousandths once per term, so every weight (tf * idf_q), norm
+    component (wt^2) and dot product is an exact 64-bit integer sum —
+    aggregation order cannot change a bit (wt <= tf * 15e3 keeps the
+    sums far from 2^63).  Only the final cosine is a float, computed
+    per row from exact integers and rounded to 6 dp BEFORE ranking.
+
+    Scale shape: one token explode + (doc, token) count, one df
+    aggregation; tokens in more than ``max_df_frac`` of docs are
+    dropped (stopword guard — the same df-cap that keeps the n-gram
+    dedup's inverted index from quadratic blowup, and deterministic so
+    the oracle replays it); the query-side join touches only the
+    n_queries docs' postings.  Top-k per query is a per-query window
+    over the candidate set, never a global sort."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.count()
+    max_df = max(1, int(n * max_df_frac))
+    df = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    idf_q = F.round(
+        F.lit(1000.0) * F.log((n + 1.0) / (F.col("df") + 1.0))
+    ).cast("long")
+    w = tf.join(df, on="tok").select(
+        "doc_id", "tok", (F.col("tf") * idf_q).alias("wt")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("norm_sq")
+    )
+    qw = w.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), "tok", F.col("wt").alias("qwt")
+    )
+    dots = (
+        qw.join(w, on="tok")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qwt") * F.col("wt")).alias("dot"))
+    )
+    qn = norms.select(
+        F.col("doc_id").alias("query_id"), F.col("norm_sq").alias("qn")
+    )
+    scored = (
+        dots.join(qn, on="query_id")
+        .join(norms, on="doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            # sqrt each exact-long norm separately: the raw product
+            # qn * norm_sq can pass 2^63 (silent long wraparound), and
+            # both factors stay below 2^53 so their double conversions
+            # are exact
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("qn")) * F.sqrt(F.col("norm_sq"))),
+                6,
+            ).alias("cos"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "cos")
+    )

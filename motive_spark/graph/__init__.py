@@ -2,6 +2,7 @@ from motive_spark.graph.gml import read_gml, write_gml
 from motive_spark.graph.metrics import (
     degree_assortativity,
     k_hop_neighborhood,
+    community_modularity,
     link_prediction_scores,
     link_prediction_topk,
     local_clustering_coefficients,
@@ -28,6 +29,7 @@ __all__ = [
     "k_hop_neighborhood",
     "random_walks",
     "node2vec_walks",
+    "community_modularity",
     "link_prediction_scores",
     "link_prediction_topk",
     "write_gml",

@@ -701,3 +701,70 @@ def node2vec_walks(
             F.transform("path", lambda x: x.cast("string")), "|"
         ).alias("path"),
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    community_col: str = "label",
+) -> DataFrame:
+    """Per-community Newman modularity decomposition over the undirected
+    simple graph: for each community c,
+
+        q_contrib(c) = e_in(c)/m  -  (deg_sum(c) / (2m))^2
+
+    (sum over communities = the modularity Q of the partition — the
+    standard quality score for label-propagation / Louvain output).
+
+    Returns (community, n_nodes, deg_sum, e_in, q_contrib) — the
+    integer components ride along so the float is a pure per-row
+    expression of exact integers (cross-engine deterministic; the
+    square is spelled x*x, not pow, to match DuckDB bit-for-bit).
+
+    Plan: one degree aggregation, one (edge ⋈ label ⋈ label) count of
+    intra-community edges, one groupBy community — all shuffles on
+    |V|- or |E|-row tables keyed by vertex/community; no windows, no
+    driver loops (m is a single count)."""
+    und = undirect(edges)
+    m = und.count()
+    if m == 0:
+        return edges.sparkSession.createDataFrame(
+            [],
+            "community long, n_nodes long, deg_sum long, e_in long, "
+            "q_contrib double",
+        )
+    deg = degrees(und.select("src", "dst"), directed=False)
+    lab = communities.select(
+        "id", F.col(community_col).alias("community")
+    )
+    dc = (
+        deg.join(lab, on="id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("deg_sum"),
+        )
+    )
+    a = lab.select(F.col("id").alias("src"), F.col("community").alias("ca"))
+    b = lab.select(F.col("id").alias("dst"), F.col("community").alias("cb"))
+    e_in = (
+        und.join(a, on="src")
+        .join(b, on="dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    half = F.col("deg_sum") / F.lit(2.0 * m)
+    return (
+        dc.join(e_in, on="community", how="left")
+        .select(
+            "community",
+            "n_nodes",
+            "deg_sum",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)) / F.lit(float(m)) - half * half,
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -1,3 +1,4 @@
+from motive_spark.kernels.coloring import greedy_coloring
 from motive_spark.kernels.components import connected_components
 from motive_spark.kernels.hits import hits
 from motive_spark.kernels.kcore import k_core
@@ -22,6 +23,7 @@ __all__ = [
     "k_core",
     "connected_components",
     "strongly_connected_components",
+    "greedy_coloring",
     "shortest_paths",
     "harmonic_centrality",
     "label_propagation",

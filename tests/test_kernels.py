@@ -1049,3 +1049,51 @@ def test_asof_join_reserved_name_collision_raises(spark):
     ).select("k", F.to_timestamp("ts").alias("ts"), "px")
     with pytest.raises(ValueError, match="_tag"):
         asof_join(left, right, key="k")
+
+
+def test_greedy_coloring_proper_and_deterministic(spark):
+    """On a sparse graph enough rounds color EVERY vertex; the result
+    is a proper coloring (no edge joins equal colors), deterministic,
+    and colored vertices in the dense/partial regime are conflict-free
+    too."""
+    from motive_spark.kernels import greedy_coloring
+
+    pairs = random_pairs(40, 70, seed=13, directed=False)
+    e = edges_df(spark, pairs)
+    got = {r.id: r.color for r in greedy_coloring(e, rounds=30).collect()}
+    assert all(c is not None for c in got.values())
+    for a, b in pairs:
+        assert got[a] != got[b], (a, b, got[a])
+    again = {r.id: r.color for r in greedy_coloring(e, rounds=30).collect()}
+    assert got == again
+    # partial fixed-round run: colored subset already conflict-free
+    part = {r.id: r.color for r in greedy_coloring(e, rounds=2).collect()}
+    for a, b in pairs:
+        if part[a] is not None and part[b] is not None:
+            assert part[a] != part[b]
+
+
+def test_community_modularity_known_partition(spark):
+    """Two triangles joined by one bridge edge: the natural partition
+    scores the textbook modularity; a merged single community scores
+    lower."""
+    from motive_spark.graph import community_modularity
+
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    e = edges_df(spark, pairs)
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    rows = {r.community: r for r in community_modularity(e, labels).collect()}
+    m = 7
+    for c, nodes, dsum, ein in ((0, 3, 7, 3), (1, 3, 7, 3)):
+        r = rows[c]
+        assert (r.n_nodes, r.deg_sum, r.e_in) == (nodes, dsum, ein)
+        expect = ein / m - (dsum / (2 * m)) ** 2
+        assert abs(r.q_contrib - round(expect, 6)) < 1e-9
+    one = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "id long, label long"
+    )
+    q_split = sum(r.q_contrib for r in rows.values())
+    q_one = community_modularity(e, one).collect()[0].q_contrib
+    assert q_one < q_split
