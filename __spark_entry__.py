@@ -786,6 +786,165 @@ def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+BC_N_SOURCES = 4
+BC_DEPTH = 4
+BC_SCALE = 100_000
+
+
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled bounded-horizon Brandes betweenness from the 4 smallest
+    vertices, 4-hop horizon; dependencies quantized to integer 1e-5
+    units with floor division, so every sum is an exact integer and
+    the unrolled oracle replays the accumulation bit-for-bit."""
+    from motive_spark.kernels import betweenness_sampled
+
+    und = _und(spark, sf_dir)
+    verts = und.select(F.col("src").alias("id")).union(
+        und.select(F.col("dst").alias("id"))
+    ).distinct()
+    sources = [r.id for r in verts.orderBy("id").limit(BC_N_SOURCES).collect()]
+    return betweenness_sampled(
+        und, sources, depth=BC_DEPTH, scale=BC_SCALE
+    ).orderBy("id")
+
+
+def _betweenness_sql(
+    n_sources: int = BC_N_SOURCES,
+    depth: int = BC_DEPTH,
+    scale: int = BC_SCALE,
+) -> str:
+    """Unrolled forward BFS with path counting + Brandes backward
+    accumulation in integer 1/scale units (// = floor division on
+    positive BIGINTs = Spark DIV)."""
+    parts = [
+        "WITH "
+        + SQL_GRAPH
+        + f""",
+srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_sources}),
+s0 AS MATERIALIZED (
+  SELECT id AS source, id, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM srcs
+),
+f0 AS MATERIALIZED (SELECT * FROM s0)"""
+    ]
+    for l in range(1, depth + 1):
+        parts.append(
+            f""",
+c{l} AS (
+  SELECT f.source, e.dst AS id, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM f{l - 1} f JOIN sym e ON e.src = f.id
+  GROUP BY f.source, e.dst
+),
+f{l} AS MATERIALIZED (
+  SELECT c.source, c.id, {l} AS dist, c.sigma
+  FROM c{l} c LEFT JOIN s{l - 1} s ON s.source = c.source AND s.id = c.id
+  WHERE s.id IS NULL
+),
+s{l} AS MATERIALIZED (
+  SELECT * FROM s{l - 1} UNION ALL SELECT * FROM f{l}
+)"""
+        )
+    # backward: levels depth-1 .. 1; deepest level has delta 0
+    prev_d = None
+    for l in range(depth - 1, 0, -1):
+        dterm = (
+            "0"
+            if prev_d is None
+            else f"COALESCE(dd.delta, 0)"
+        )
+        djoin = (
+            ""
+            if prev_d is None
+            else f"\n  LEFT JOIN {prev_d} dd ON dd.source = w.source AND dd.id = w.id"
+        )
+        parts.append(
+            f""",
+d{l} AS MATERIALIZED (
+  SELECT v.source, v.id,
+         CAST(SUM(v.sigma * ({scale} + {dterm}) // w.sigma) AS BIGINT) AS delta
+  FROM s{depth} v JOIN sym e ON e.src = v.id
+  JOIN s{depth} w ON w.source = v.source AND w.id = e.dst
+                 AND w.dist = {l + 1}{djoin}
+  WHERE v.dist = {l} GROUP BY v.source, v.id
+)"""
+        )
+        prev_d = f"d{l}"
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM d{l}" for l in range(depth - 1, 0, -1)
+    )
+    parts.append(
+        f""",
+bc AS (
+  SELECT id, CAST(SUM(delta) AS BIGINT) AS bc_q
+  FROM ({unions}) GROUP BY id
+)
+SELECT v.id, COALESCE(b.bc_q, 0) AS bc_q
+FROM verts v LEFT JOIN bc b USING (id) ORDER BY v.id"""
+    )
+    return "".join(parts)
+
+
+HB_ROUNDS = 3
+HB_SEED = 7
+HB_RMAX = 40
+# the raw-HLL numerator alpha_32 * R^2 * 2^rmax, computed ONCE here and
+# embedded verbatim in both engines so the doubles are identical
+HB_NUMER = 0.697 * 32 * 32 * (1 << HB_RMAX)
+
+
+def q_graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall t=3: per-vertex HLL sketch of the 3-hop ball,
+    register-wise max union per round; exact integer harmonic sum +
+    raw estimate — registers derive from md5, so the oracle replays
+    every register exactly."""
+    from motive_spark.kernels import hyperball
+
+    return hyperball(
+        _und(spark, sf_dir), rounds=HB_ROUNDS, seed=HB_SEED, rmax=HB_RMAX
+    ).orderBy("id")
+
+
+def _hyperball_sql(
+    rounds: int = HB_ROUNDS, seed: int = HB_SEED, rmax: int = HB_RMAX
+) -> str:
+    h1 = f"('0x' || substr(md5(id || '|{seed}'), 1, 8))::BIGINT"
+    h2 = f"('0x' || substr(md5(id || '|{seed}'), 9, 8))::BIGINT"
+    parts = [
+        "WITH "
+        + SQL_GRAPH
+        + f""",
+u0 AS MATERIALIZED (
+  SELECT id, {h1} % 32 AS j,
+         LEAST(CASE WHEN {h2} = 0 THEN {rmax}
+                    ELSE 33 - LENGTH(bin({h2})) END, {rmax}) AS r
+  FROM verts
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT id, j, MAX(r) AS r FROM (
+    SELECT id, j, r FROM u{t - 1}
+    UNION ALL
+    SELECT e.src AS id, s.j, s.r FROM sym e JOIN u{t - 1} s ON s.id = e.dst
+  ) GROUP BY id, j
+)"""
+        )
+    parts.append(
+        f""",
+agg AS (
+  SELECT id,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - r)) AS BIGINT)
+         + (32 - COUNT(*)) * (CAST(1 AS BIGINT) << {rmax}) AS s_int
+  FROM u{rounds} GROUP BY id
+)
+SELECT id, CAST(s_int AS BIGINT) AS s_int,
+       ROUND({HB_NUMER!r} / s_int, 6) AS ball_est
+FROM agg ORDER BY id"""
+    )
+    return "".join(parts)
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
     (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
@@ -961,6 +1120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "graph_modularity": q_graph_modularity,
         "graph_coloring": q_graph_coloring,
+        "graph_betweenness": q_graph_betweenness,
+        "graph_hyperball": q_graph_hyperball,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -1068,6 +1229,8 @@ s0 AS (
         "graph_node2vec_walks": _node2vec_sql(),
         "graph_modularity": _modularity_sql(),
         "graph_coloring": _coloring_sql(),
+        "graph_betweenness": _betweenness_sql(),
+        "graph_hyperball": _hyperball_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (
@@ -1807,6 +1970,65 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY, top_k=20).orderBy("rank")
 
 
+SAMPLE_EN_FRAC = 0.3
+SAMPLE_SEED_THIN = 3
+SAMPLE_SEED_RANK = 5
+SAMPLE_QUOTA = 25
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-mix sampling: deterministically thin the dominant
+    language (en kept at 0.3 via the md5-threshold Bernoulli filter —
+    a zero-shuffle predicate), then take an EXACT 25-doc quota per
+    language ranked by an independent md5 draw.  Both stages are pure
+    functions of (doc_id, seed), so the oracle replays the sample
+    row-for-row."""
+    from motive_spark.datapipe import hash_sample, stratified_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thinned = hash_sample(
+        docs,
+        frac=1.0,
+        key_cols=["doc_id"],
+        seed=SAMPLE_SEED_THIN,
+        frac_by={"en": SAMPLE_EN_FRAC},
+        strata_col="lang",
+    )
+    return (
+        stratified_topn(
+            thinned,
+            ["lang"],
+            n=SAMPLE_QUOTA,
+            key_cols=["doc_id"],
+            seed=SAMPLE_SEED_RANK,
+        )
+        .select("lang", "doc_id", "strat_rank")
+        .orderBy("lang", "strat_rank")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    t_en = int(SAMPLE_EN_FRAC * (1 << 32))
+    t_def = 1 << 32
+    return f"""
+WITH kept AS MATERIALIZED (
+  SELECT doc_id, lang FROM documents
+  WHERE ('0x' || substr(md5(doc_id || '|{SAMPLE_SEED_THIN}'), 1, 8))::BIGINT <
+        CASE WHEN lang = 'en' THEN {t_en} ELSE {t_def} END
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id || '|{SAMPLE_SEED_RANK}') ASC,
+                    CAST(doc_id AS VARCHAR) ASC
+         ) AS strat_rank
+  FROM kept
+)
+SELECT lang, doc_id, CAST(strat_rank AS INT) AS strat_rank
+FROM ranked WHERE strat_rank <= {SAMPLE_QUOTA} ORDER BY lang, strat_rank"""
+
+
 def q_text_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine 'more like this': top-10 similar docs per query
     doc (doc_id < 5); idf quantized to integer thousandths so every
@@ -2082,6 +2304,7 @@ _DATAPIPE_QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "text_bm25": q_text_bm25,
     "text_tfidf_similar": q_text_tfidf_similar,
+    "docs_stratified_sample": q_docs_stratified_sample,
     "orders_percentiles": q_orders_percentiles,
 }
 
@@ -2328,6 +2551,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_embeddings": _kmeans_sql(),
     "text_bm25": _bm25_sql(),
     "text_tfidf_similar": _tfidf_similar_sql(max_df_frac=0.8),
+    "docs_stratified_sample": _stratified_sample_sql(),
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout
     "orders_percentiles": """

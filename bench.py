@@ -403,14 +403,47 @@ def run_scale_level_query(cpus: int, kernel: str, repeats: int = 3) -> dict:
         )
         rows = e.count()
 
+        round_times: list[list[float]] = []
+
         def job():
             # fixed-round weighted relaxation; the determinism check is
             # the integer sum of all distances (equal at both levels)
+            rt: list[float] = []
             d = shortest_paths(
                 e, list(range(n_src)), weight_col="w", rounds=6,
-                directed=True,
+                directed=True, round_timings=rt,
             )
-            return d.agg(F.sum("dist")).collect()[0][0]
+            out = d.agg(F.sum("dist")).collect()[0][0]
+            round_times.append(rt)
+            return out
+    elif kernel == "shuffle":
+        # NULL JOB for ceiling normalization: one full exchange of the
+        # same edge volume the sssp rounds move, plus a trivial count.
+        # Shuffle-shaped work on a single box is memory-bus bound — all
+        # N cores share one bus, unlike a real cluster where 4N
+        # executors bring 4N buses — so its 4->16 efficiency is the
+        # HARDWARE ceiling against which shuffle-heavy kernels (sssp)
+        # are judged, exactly like the 0.84 pure-compute ceiling.
+        n_v = int(os.environ.get("SPARK_GRAFT_SSSP_N", str(1_000_000)))
+        n_e = int(os.environ.get("SPARK_GRAFT_SSSP_M", str(10_000_000)))
+        e = (
+            spark.range(n_e, numPartitions=SCALE_P)
+            .select(
+                F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_v)).alias("src"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_v)).alias("dst"),
+                (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(7)) + 1).alias("w"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .cache()
+        )
+        rows = e.count()
+
+        def job():
+            return (
+                e.repartition(SCALE_P, "dst")
+                .agg(F.count(F.lit(1)))
+                .collect()[0][0]
+            )
     elif kernel == "minhash":
         from motive_spark.datapipe.dedup import minhash_lsh_candidates
 
@@ -449,7 +482,7 @@ def run_scale_level_query(cpus: int, kernel: str, repeats: int = 3) -> dict:
         out = job()
         times.append(_time.time() - t0)
     spark.stop()
-    return {
+    report = {
         "cpus": cpus,
         "kernel": kernel,
         "input_rows": rows,
@@ -458,6 +491,23 @@ def run_scale_level_query(cpus: int, kernel: str, repeats: int = 3) -> dict:
         "wall_median_sec": round(statistics.median(times), 2),
         "wall_min_sec": round(min(times), 2),
     }
+    # superstep-resolved kernels: the whole-job wall on this VM is
+    # exposed to multi-second co-tenant bursts that hit ONE repeat
+    # (observed 3x spreads with equal first/last repeats).  Per-round
+    # medians ACROSS repeats reject a burst that lands in any single
+    # repeat; their sum is the steady per-job time — the same
+    # methodology the PageRank superstep scaling run uses.
+    if kernel == "sssp" and round_times:
+        per_round_med = [
+            statistics.median(rep[i] for rep in round_times)
+            for i in range(len(round_times[0]))
+        ]
+        report["round_sec_matrix"] = [
+            [round(x, 2) for x in rep] for rep in round_times
+        ]
+        report["round_median_sec"] = [round(x, 2) for x in per_round_med]
+        report["steady_sum_sec"] = round(sum(per_round_med), 2)
+    return report
 
 
 def run_scaling_query(kernel: str) -> None:
@@ -487,6 +537,9 @@ def run_scaling_query(kernel: str) -> None:
     assert results[4]["result"] == results[16]["result"], "nondeterministic job"
     med4, med16 = results[4]["wall_median_sec"], results[16]["wall_median_sec"]
     min4, min16 = results[4]["wall_min_sec"], results[16]["wall_min_sec"]
+    if "steady_sum_sec" in results[4] and "steady_sum_sec" in results[16]:
+        # burst-robust per-round medians (see run_scale_level_query)
+        med4, med16 = results[4]["steady_sum_sec"], results[16]["steady_sum_sec"]
     report = {
         "kernel": kernel,
         "method": "taskset-pinned local[4] vs local[16], identical "

@@ -28,6 +28,7 @@ from motive_spark.datapipe.temporal import (
     asof_join,
     sessionize,
 )
+from motive_spark.datapipe.sampling import hash_sample, stratified_topn
 from motive_spark.datapipe.text import (
     bm25_topk,
     detect_language,
@@ -53,6 +54,8 @@ __all__ = [
     "token_stats",
     "bm25_topk",
     "tfidf_similar_docs",
+    "hash_sample",
+    "stratified_topn",
     "quality_scores",
     "detect_language",
     "detect_language_ngram",

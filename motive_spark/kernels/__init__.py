@@ -1,6 +1,8 @@
+from motive_spark.kernels.betweenness import betweenness_sampled
 from motive_spark.kernels.coloring import greedy_coloring
 from motive_spark.kernels.components import connected_components
 from motive_spark.kernels.hits import hits
+from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.labelprop import (
     label_propagation,
@@ -24,6 +26,8 @@ __all__ = [
     "connected_components",
     "strongly_connected_components",
     "greedy_coloring",
+    "betweenness_sampled",
+    "hyperball",
     "shortest_paths",
     "harmonic_centrality",
     "label_propagation",

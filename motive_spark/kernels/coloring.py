@@ -119,7 +119,7 @@ def greedy_coloring(
             .groupBy("id")
             .agg(F.min("c").alias("new_color"))
         )
-        state = (
+        new_state = (
             state.join(free, on="id", how="left")
             .select(
                 "id",
@@ -128,4 +128,6 @@ def greedy_coloring(
             )
             .localCheckpoint(eager=True)
         )
+        state.unpersist()  # superseded round's blocks are dead
+        state = new_state
     return state.select("id", "color")

@@ -27,6 +27,7 @@ path, <= the graph's hop diameter for metric-ish weights.
 
 from __future__ import annotations
 
+import time as _time
 import warnings
 
 from pyspark.sql import DataFrame
@@ -40,6 +41,7 @@ def shortest_paths(
     rounds: int | None = None,
     max_rounds: int = 50,
     directed: bool = False,
+    round_timings: list | None = None,
 ) -> DataFrame:
     """Returns (source, id, dist): minimum path weight from each source
     to every reached vertex (unreached vertices are absent).  Weights
@@ -79,6 +81,7 @@ def shortest_paths(
     n_rounds = rounds if fixed else max_rounds
     converged = False
     for _ in range(n_rounds):
+        _t0 = _time.time() if round_timings is not None else 0.0
         relax = frontier.join(e, on=[frontier.id == e.src]).select(
             "source",
             F.col("dst").alias("id"),
@@ -90,14 +93,25 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        frontier = new_state.join(
+        new_frontier = new_state.join(
             state.withColumnRenamed("dist", "old"),
             on=["source", "id"],
             how="left",
         ).where(
             F.col("old").isNull() | (F.col("dist") < F.col("old"))
         ).select("source", "id", "dist").localCheckpoint(eager=True)
-        state = new_state
+        # release the PREVIOUS round's checkpoint blocks now that both
+        # successors are materialized: state is O(|sources|*|V|) rows,
+        # and without this the kernel's storage footprint grows
+        # linearly with rounds (measured: back-to-back runs in one JVM
+        # slowed 2-3x as dead blocks piled up ahead of driver GC)
+        for old in ({id(state): state, id(frontier): frontier}).values():
+            old.unpersist()
+        state, frontier = new_state, new_frontier
+        if round_timings is not None:
+            # one relaxation superstep = the relax join + min-agg +
+            # frontier diff, materialized by the two eager checkpoints
+            round_timings.append(_time.time() - _t0)
         if not fixed and frontier.limit(1).count() == 0:
             converged = True
             break
@@ -109,6 +123,8 @@ def shortest_paths(
             stacklevel=2,
         )
     e.unpersist()
+    if frontier is not state:  # rounds=0 leaves them aliased
+        frontier.unpersist()
     return state
 
 

@@ -541,3 +541,85 @@ def test_dedup_clusters_transitive(spark):
     assert {out[i].cluster for i in (1, 2, 3)} == {1}
     assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
     assert out[1].is_keeper and not out[2].is_keeper and not out[3].is_keeper
+
+
+def _docs_frame(spark, n=400, seed=9):
+    import random as _random
+
+    rng = _random.Random(seed)
+    langs = ["en", "en", "en", "de", "fr", "zh"]
+    rows = [(i, rng.choice(langs), f"doc text {i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from motive_spark.datapipe import hash_sample
+
+    docs = _docs_frame(spark)
+    s1 = sorted(r.doc_id for r in hash_sample(docs, 0.5, ["doc_id"], seed=1).collect())
+    s2 = sorted(r.doc_id for r in hash_sample(docs, 0.5, ["doc_id"], seed=1).collect())
+    assert s1 == s2
+    # binomial(400, 0.5): 6 sigma = 60
+    assert 140 <= len(s1) <= 260
+    # different seed decorrelates
+    s3 = sorted(r.doc_id for r in hash_sample(docs, 0.5, ["doc_id"], seed=2).collect())
+    assert s1 != s3
+    # python replay: exact membership
+    import hashlib
+
+    want = [
+        i
+        for i in range(400)
+        if int(hashlib.md5(f"{i}|1".encode()).hexdigest()[:8], 16)
+        < int(0.5 * (1 << 32))
+    ]
+    assert s1 == want
+
+
+def test_hash_sample_is_pure_filter_no_exchange(spark):
+    from motive_spark.datapipe import hash_sample
+
+    docs = _docs_frame(spark)
+    plan = (
+        hash_sample(docs, 0.25, ["doc_id"], seed=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_strata_override(spark):
+    from motive_spark.datapipe import hash_sample
+
+    docs = _docs_frame(spark)
+    out = hash_sample(
+        docs, 1.0, ["doc_id"], seed=7, frac_by={"en": 0.0}, strata_col="lang"
+    ).collect()
+    assert out and all(r.lang != "en" for r in out)
+    n_other = docs.where("lang <> 'en'").count()
+    assert len(out) == n_other
+
+
+def test_stratified_topn_exact_quota_and_replay(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from motive_spark.datapipe import stratified_topn
+
+    docs = _docs_frame(spark)
+    got = stratified_topn(docs, ["lang"], 15, ["doc_id"], seed=5).collect()
+    by_lang = defaultdict(list)
+    for r in got:
+        by_lang[r.lang].append((r.strat_rank, r.doc_id))
+    # python replay: md5-ranked first 15 per lang
+    pool = defaultdict(list)
+    for r in docs.collect():
+        pool[r.lang].append(r.doc_id)
+    for lang, ids in pool.items():
+        ranked = sorted(
+            ids,
+            key=lambda i: (hashlib.md5(f"{i}|5".encode()).hexdigest(), str(i)),
+        )[:15]
+        want = [(k + 1, i) for k, i in enumerate(ranked)]
+        assert sorted(by_lang[lang]) == want, lang

@@ -1097,3 +1097,135 @@ def test_community_modularity_known_partition(spark):
     q_split = sum(r.q_contrib for r in rows.values())
     q_one = community_modularity(e, one).collect()[0].q_contrib
     assert q_one < q_split
+
+
+def _py_betweenness(pairs, sources, depth, scale):
+    """Pure-python replay of the bounded-horizon quantized Brandes rule."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    bc = defaultdict(int)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for lvl in range(1, depth + 1):
+            cand = {}
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        cand[w] = cand.get(w, 0) + sigma[v]
+            for w, sg in cand.items():
+                dist[w] = lvl
+                sigma[w] = sg
+            frontier = list(cand)
+        delta = defaultdict(int)
+        for lvl in range(depth - 1, 0, -1):
+            for v in [x for x in dist if dist[x] == lvl]:
+                acc = 0
+                for w in adj[v]:
+                    if dist.get(w) == lvl + 1:
+                        acc += sigma[v] * (scale + delta[w]) // sigma[w]
+                if acc:
+                    delta[v] = acc
+        for v, d in delta.items():
+            if dist[v] > 0:
+                bc[v] += d
+    return bc
+
+
+def test_betweenness_path_graph(spark):
+    """Path 0-1-2-3-4, source 0: textbook deltas 3S, 2S, S, 0."""
+    from motive_spark.kernels import betweenness_sampled
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = {
+        r.id: r.bc_q
+        for r in betweenness_sampled(
+            edges_df(spark, pairs), sources=[0], depth=4, scale=1000
+        ).collect()
+    }
+    assert got == {0: 0, 1: 3000, 2: 2000, 3: 1000, 4: 0}
+
+
+def test_betweenness_matches_python_replay(spark):
+    from motive_spark.kernels import betweenness_sampled
+
+    pairs = random_pairs(30, 60, seed=5, directed=False)
+    sources = [0, 1, 2]
+    want = _py_betweenness(pairs, sources, depth=4, scale=100_000)
+    got = {
+        r.id: r.bc_q
+        for r in betweenness_sampled(
+            edges_df(spark, pairs), sources, depth=4, scale=100_000
+        ).collect()
+    }
+    verts = {v for p in pairs for v in p}
+    assert set(got) == verts
+    for v in verts:
+        assert got[v] == want.get(v, 0), (v, got[v], want.get(v, 0))
+
+
+def _py_hyperball(pairs, rounds, seed, rmax):
+    """Pure-python register replay of the md5-derived HLL union rounds."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    verts = set()
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+        verts.update((a, b))
+    regs = {}
+    for v in verts:
+        h = hashlib.md5(f"{v}|{seed}".encode()).hexdigest()
+        j = int(h[:8], 16) % 32
+        w = int(h[8:16], 16)
+        r = rmax if w == 0 else min(33 - w.bit_length(), rmax)
+        regs[v] = {j: r}
+    for _ in range(rounds):
+        new = {v: dict(rv) for v, rv in regs.items()}
+        for v in verts:
+            for u in adj[v]:
+                for j, r in regs[u].items():
+                    if new[v].get(j, -1) < r:
+                        new[v][j] = r
+        regs = new
+    out = {}
+    for v, rv in regs.items():
+        s = sum(1 << (rmax - r) for r in rv.values())
+        s += (32 - len(rv)) * (1 << rmax)
+        out[v] = s
+    return out
+
+
+def test_hyperball_matches_python_replay(spark):
+    from motive_spark.kernels import hyperball
+
+    pairs = random_pairs(40, 80, seed=3, directed=False)
+    want = _py_hyperball(pairs, rounds=3, seed=7, rmax=40)
+    rows = hyperball(
+        edges_df(spark, pairs), rounds=3, seed=7, rmax=40
+    ).collect()
+    got = {r.id: r.s_int for r in rows}
+    assert got == want
+    # estimate sanity: a 3-hop ball on this graph reaches most of the
+    # 40 vertices; the raw HLL estimate must land within 3x either way
+    for r in rows:
+        assert 5 <= r.ball_est <= 160, (r.id, r.ball_est)
+
+
+def test_hyperball_converged_equals_component_size_scale(spark):
+    """On a connected graph, after >= diameter rounds every vertex
+    holds the SAME sketch (the whole component's), so s_int is equal
+    everywhere and the estimate is the component-cardinality HLL
+    value."""
+    from motive_spark.kernels import hyperball
+
+    pairs = [(i, i + 1) for i in range(6)]
+    rows = hyperball(edges_df(spark, pairs), rounds=6).collect()
+    assert len({r.s_int for r in rows}) == 1
