@@ -945,6 +945,79 @@ FROM agg ORDER BY id"""
     return "".join(parts)
 
 
+KT_K = 12
+KT_ROUNDS = 6
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of the co-purchase graph (edges closing >= 10
+    triangles among surviving edges), fixed 6 peel rounds (converges
+    in 5 at sf0.01), each survivor with its final support — the
+    edge-cohesion filter between k-core and clique mining."""
+    from motive_spark.kernels import k_truss
+
+    return k_truss(
+        _und(spark, sf_dir), KT_K, max_rounds=KT_ROUNDS
+    ).orderBy("src", "dst")
+
+
+def _ktruss_sql(k: int = KT_K, rounds: int = KT_ROUNDS) -> str:
+    """Unrolled support peel: replay the kernel's k-core pre-filter
+    (deg >= k-1), then ``rounds`` rounds of canonical-triangle
+    (a<b<c) support counting + edge filter, then the final support
+    recount — exactly kernels.k_truss(..., max_rounds=rounds)."""
+
+    def tri_supp(src_rel: str, t: str, s: str) -> str:
+        return f""",
+{t} AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM {src_rel} e1
+  JOIN {src_rel} e2 ON e2.src = e1.dst
+  JOIN {src_rel} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+{s} AS (
+  SELECT src, dst, COUNT(*) AS supp FROM (
+    SELECT a AS src, b AS dst FROM {t}
+    UNION ALL SELECT b AS src, c AS dst FROM {t}
+    UNION ALL SELECT a AS src, c AS dst FROM {t}
+  ) GROUP BY src, dst
+)"""
+
+    parts = [
+        "WITH "
+        + SQL_GRAPH
+        + f""",
+pcd AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst FROM und
+  ) GROUP BY id
+),
+pc AS MATERIALIZED (SELECT id FROM pcd WHERE deg >= {k - 1}),
+a0 AS MATERIALIZED (
+  SELECT e.src, e.dst FROM und e
+  JOIN pc x ON e.src = x.id JOIN pc y ON e.dst = y.id
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(tri_supp(f"a{i - 1}", f"t{i}", f"s{i}"))
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM a{i - 1} e
+  JOIN s{i} s ON s.src = e.src AND s.dst = e.dst
+  WHERE s.supp >= {k - 2}
+)"""
+        )
+    parts.append(tri_supp(f"a{rounds}", "tf", "sf"))
+    parts.append(
+        f"""
+SELECT e.src, e.dst, COALESCE(s.supp, 0) AS supp
+FROM a{rounds} e LEFT JOIN sf s ON s.src = e.src AND s.dst = e.dst
+ORDER BY e.src, e.dst"""
+    )
+    return "".join(parts)
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
     (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
@@ -1122,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_graph_coloring,
         "graph_betweenness": q_graph_betweenness,
         "graph_hyperball": q_graph_hyperball,
+        "graph_ktruss": q_graph_ktruss,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -1231,6 +1305,7 @@ s0 AS (
         "graph_coloring": _coloring_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_hyperball": _hyperball_sql(),
+        "graph_ktruss": _ktruss_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (

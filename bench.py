@@ -140,6 +140,12 @@ def _extra_benches(spark) -> dict[str, float]:
                     "events_windowed_counts",
                     "events_props_json",
                     "orders_percentiles",
+                    "graph_betweenness",
+                    "graph_hyperball",
+                    "graph_ktruss",
+                    "graph_coloring",
+                    "graph_modularity",
+                    "docs_stratified_sample",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle

@@ -4,6 +4,7 @@ from motive_spark.kernels.components import connected_components
 from motive_spark.kernels.hits import hits
 from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
+from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.labelprop import (
     label_propagation,
     seeded_label_propagation,
@@ -23,6 +24,7 @@ __all__ = [
     "weighted_pagerank",
     "hits",
     "k_core",
+    "k_truss",
     "connected_components",
     "strongly_connected_components",
     "greedy_coloring",

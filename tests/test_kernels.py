@@ -1229,3 +1229,66 @@ def test_hyperball_converged_equals_component_size_scale(spark):
     pairs = [(i, i + 1) for i in range(6)]
     rows = hyperball(edges_df(spark, pairs), rounds=6).collect()
     assert len({r.s_int for r in rows}) == 1
+
+
+def py_ktruss(pairs, k):
+    """Pure-python k-truss fixpoint oracle: peel edges with support
+    < k-2 until stable; returns {(a, b): final support} (a < b)."""
+    edges = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+
+    def supports(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b]) for a, b in es
+        }
+
+    while edges:
+        s = supports(edges)
+        keep = {e for e in edges if s[e] >= k - 2}
+        if keep == edges:
+            break
+        edges = keep
+    return supports(edges) if edges else {}
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_ktruss_vs_python_oracle(spark, k):
+    from motive_spark.kernels import k_truss
+
+    pairs = random_pairs(40, 220, seed=k * 11, directed=False)
+    got = {
+        (r.src, r.dst): r.supp
+        for r in k_truss(edges_df(spark, pairs), k).collect()
+    }
+    assert got == py_ktruss(pairs, k)
+
+
+def test_ktruss_pre_core_invariant(spark):
+    """pre_core is pure pruning: same fixpoint with it off."""
+    from motive_spark.kernels import k_truss
+
+    pairs = random_pairs(30, 120, seed=9, directed=False)
+    a = sorted(
+        tuple(r) for r in k_truss(edges_df(spark, pairs), 4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in k_truss(edges_df(spark, pairs), 4, pre_core=False).collect()
+    )
+    assert a == b
+
+
+def test_ktruss_clique_and_triangle_free(spark):
+    from motive_spark.kernels import k_truss
+
+    # K5: every edge has support 3 → survives k=5, dies at k=6
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    out = k_truss(edges_df(spark, k5), 5).collect()
+    assert len(out) == 10 and all(r.supp == 3 for r in out)
+    assert k_truss(edges_df(spark, k5), 6).count() == 0
+    # a path has no triangles: empty for any k >= 3
+    path = [(i, i + 1) for i in range(6)]
+    assert k_truss(edges_df(spark, path), 3).count() == 0
