@@ -2104,6 +2104,166 @@ SELECT lang, doc_id, CAST(strat_rank AS INT) AS strat_rank
 FROM ranked WHERE strat_rank <= {SAMPLE_QUOTA} ORDER BY lang, strat_rank"""
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+_LN2 = 0.6931471805599453  # repr(math.log(2.0)) — embedded in BOTH engines
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI; all counts are
+    exact integers, the log2 is one float expression per row from
+    those integers, rounded to 6 dp before ranking (ln precedent:
+    graph_link_prediction's Adamic-Adar term)."""
+    from motive_spark.datapipe import collocations_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations_pmi(docs, min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K)
+
+
+def _collocations_sql(
+    min_count: int = PMI_MIN_COUNT, top_k: int = PMI_TOP_K
+) -> str:
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + f""",
+uni AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w
+),
+ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+pair AS MATERIALIZED (
+  SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c12
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+  WHERE t1.w <> '' AND t2.w <> ''
+  GROUP BY 1, 2
+),
+nbi AS (SELECT CAST(SUM(c12) AS DOUBLE) AS b FROM pair)
+SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+       ROUND(ln(p.c12 * ntok.n * ntok.n / (nbi.b * u1.c * u2.c))
+             / {_LN2!r}, 6) AS pmi
+FROM pair p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2, ntok, nbi
+WHERE p.c12 >= {min_count}
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT {top_k}"""
+    )
+
+
+CONTAM_N = 3
+CONTAM_MIN_DF = 2
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: per doc, the fraction of its distinct
+    3-grams occurring in >= 2 documents — exact integer pair + one
+    rounded division; docs shorter than 3 tokens have no grams and no
+    row (both engines)."""
+    from motive_spark.datapipe import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_contamination(
+        docs, n=CONTAM_N, min_df=CONTAM_MIN_DF
+    ).orderBy("doc_id")
+
+
+def _contamination_sql(n: int = CONTAM_N, min_df: int = CONTAM_MIN_DF) -> str:
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(n)
+        + f""",
+dfreq AS MATERIALIZED (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT g.doc_id, COUNT(*) AS n_shared
+  FROM grams g JOIN dfreq d ON d.gram = g.gram
+  WHERE d.df >= {min_df}
+  GROUP BY g.doc_id
+)
+SELECT p.doc_id, p.n_grams, COALESCE(s.n_shared, 0) AS n_shared,
+       ROUND(COALESCE(s.n_shared, 0) * 1.0 / p.n_grams, 6)
+         AS contamination_rate
+FROM per_doc p LEFT JOIN shared s USING (doc_id) ORDER BY p.doc_id"""
+    )
+
+
+def _pii_inject(doc_id, text):
+    """Deterministic PII fixture: the synthetic corpus carries no real
+    PII, so the contract injects reproducible spans as pure functions
+    of doc_id (replayed identically in the oracle) — the OPERATOR
+    under test is the general redact_pii rewrite."""
+    email = F.when(
+        doc_id % 3 != 0,
+        F.concat(
+            F.lit(" reach user"),
+            doc_id.cast("string"),
+            F.lit("@mail.example.org"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc_id % 2 == 0,
+        F.concat(
+            F.lit(" from 192.168."),
+            (doc_id % 256).cast("string"),
+            F.lit("."),
+            (doc_id % 40).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    card = F.concat(
+        F.lit(" ref 4111"),
+        F.lpad((doc_id % 1000000000).cast("string"), 12, "0"),
+    )
+    return F.concat(text, email, ip, card, F.lit(" end"))
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing contract: inject deterministic email/IPv4/long-
+    number spans, redact with the fixed-order pattern battery, return
+    per-category counts + md5 of the rewritten text (pins every
+    replacement byte)."""
+    from motive_spark.datapipe import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _pii_inject(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return redact_pii(docs).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_longnum",
+        F.md5("redacted").alias("red_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_pii_sql() -> str:
+    from motive_spark.datapipe.text import PII_PATTERNS
+
+    inject = (
+        "text || CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || doc_id"
+        " || '@mail.example.org' ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' from 192.168.'"
+        " || (doc_id % 256) || '.' || (doc_id % 40) ELSE '' END"
+        " || ' ref 4111' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 12, '0')"
+        " || ' end'"
+    )
+    cols, expr = [], "t"
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted literals keep backslashes verbatim — do
+        # NOT double them (that would turn \. into a backslash class)
+        esc = pat.replace("'", "''")
+        cols.append(
+            f"len(regexp_extract_all({expr}, '{esc}')) AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{esc}', '{repl}', 'g')"
+    return f"""WITH injected AS (
+  SELECT doc_id, {inject} AS t FROM documents
+)
+SELECT doc_id, {', '.join(cols)}, md5({expr}) AS red_md5
+FROM injected ORDER BY doc_id"""
+
+
 def q_text_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine 'more like this': top-10 similar docs per query
     doc (doc_id < 5); idf quantized to integer thousandths so every
@@ -2379,6 +2539,9 @@ _DATAPIPE_QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "text_bm25": q_text_bm25,
     "text_tfidf_similar": q_text_tfidf_similar,
+    "text_collocations": q_text_collocations,
+    "text_contamination": q_text_contamination,
+    "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
     "orders_percentiles": q_orders_percentiles,
 }
@@ -2626,6 +2789,9 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "kmeans_embeddings": _kmeans_sql(),
     "text_bm25": _bm25_sql(),
     "text_tfidf_similar": _tfidf_similar_sql(max_df_frac=0.8),
+    "text_collocations": _collocations_sql(),
+    "text_contamination": _contamination_sql(),
+    "text_redact_pii": _redact_pii_sql(),
     "docs_stratified_sample": _stratified_sample_sql(),
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

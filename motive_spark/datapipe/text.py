@@ -444,3 +444,156 @@ def tfidf_similar_docs(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "rank", "cos")
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining by pointwise mutual
+    information — the standard phrase-discovery pass a tokenizer
+    pipeline runs before vocabulary construction (Church & Hanks 1990,
+    public literature).
+
+    pmi(w1, w2) = log2( P(w1 w2) / (P(w1) P(w2)) )
+                = log2( c12 * N^2 / (B * c1 * c2) )
+
+    with c12 the bigram count, c1/c2 unigram counts, N total tokens,
+    B total bigrams — all exact integer aggregates; only the final
+    log2 is floating point, computed per row from the exact integers
+    and rounded to 6 dp BEFORE ranking (the tfidf/link-prediction
+    discipline; c12·N² stays under 2^53 through ~1e6-token corpora —
+    beyond that, subsample or lift the expression to decimal).
+
+    Scale shape: one zero-shuffle bigram transform + two counted
+    aggregations (bigram, unigram); the unigram table joins back
+    twice — both joins are on the word key and the unigram side is
+    broadcast-size for any real vocabulary.  Top-k is orderBy+limit
+    (TakeOrdered), never a global window.
+    """
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    n_win = F.size(toks) - F.lit(1)
+    idx = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bi = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+            F.element_at(toks, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bigrams = toked.select(F.explode(bi).alias("b")).select("b.w1", "b.w2")
+    uni = (
+        toked.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spark = docs.sparkSession
+    n_tok = uni.agg(F.sum("c")).collect()[0][0] or 0
+    pair = (
+        bigrams.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n_bi = pair.agg(F.sum("c12")).collect()[0][0] or 1
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    pmi = F.round(
+        F.log(
+            F.col("c12")
+            * F.lit(float(n_tok))
+            * F.lit(float(n_tok))
+            / (F.lit(float(n_bi)) * F.col("c1") * F.col("c2"))
+        )
+        / F.lit(float(__import__("math").log(2.0))),
+        6,
+    )
+    return (
+        pair.where(F.col("c12") >= min_count)
+        .join(u1, on="w1")
+        .join(u2, on="w2")
+        .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document n-gram overlap with the rest of the corpus — the
+    decontamination / memorization screen: the fraction of a document's
+    distinct word n-grams that also occur in >= ``min_df`` documents
+    (including itself).  A held-out eval set is 'contaminated' exactly
+    when this rate is high against the training corpus.
+
+    Scale shape: the zero-shuffle windowed-gram transform shared with
+    the n-gram dedup (word_ngrams), one document-frequency aggregation
+    on the gram key (map-side combinable), one join back on the gram
+    key, one per-doc count — no pairwise comparisons anywhere, so cost
+    is linear in total grams, and the gram key can be md5-compacted at
+    100-TB scale to bound shuffle width.  The rate is an exact integer
+    pair (n_shared, n_grams); the ratio is one rounded division.
+    """
+    from motive_spark.datapipe.dedup import word_ngrams
+
+    grams = word_ngrams(docs, n=n)
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    flagged = grams.join(
+        dfreq.where(F.col("df") >= min_df).select("gram"),
+        on="gram",
+        how="leftsemi",
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        per_doc.join(shared, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)) * F.lit(1.0) / F.col("n_grams"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookarounds, no backrefs) so Spark and any RE2-based engine rewrite
+# byte-identically
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("longnum", r"[0-9]{13,19}", "<NUM>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4 addresses, 13-19-digit
+    numbers) from ``text_col`` into typed placeholders, with one count
+    column per category — the mandatory hygiene pass before corpus
+    release.  Patterns apply in the fixed PII_PATTERNS order (email
+    before ipv4/longnum, so an address inside an email is consumed
+    once).  Pure regexp_replace/regexp_count column expressions —
+    codegen'd, zero-shuffle, pushdown-safe."""
+    out = df
+    col = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(col, F.lit(pat)).alias(f"n_{name}"))
+        col = F.regexp_replace(col, pat, repl)
+    return out.select("*", *counts, col.alias(out_col))

@@ -623,3 +623,85 @@ def test_stratified_topn_exact_quota_and_replay(spark):
         )[:15]
         want = [(k + 1, i) for k, i in enumerate(ranked)]
         assert sorted(by_lang[lang]) == want, lang
+
+
+def test_collocations_pmi_vs_python(spark):
+    """PMI of every surviving bigram matches a pure-python count."""
+    from collections import Counter
+
+    from motive_spark.datapipe import collocations_pmi
+
+    texts = [
+        "new york is a big city in new york state",
+        "new york and san francisco",
+        "san francisco is a city",
+        "the city of new york",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.w1, r.w2): (r.c12, r.c1, r.c2, r.pmi)
+        for r in collocations_pmi(docs, min_count=2, top_k=100).collect()
+    }
+    toks = [t.split(" ") for t in texts]
+    uni = Counter(w for t in toks for w in t)
+    bi = Counter((a, b) for t in toks for a, b in zip(t, t[1:]))
+    n = sum(uni.values())
+    nb = sum(bi.values())
+    want = {}
+    for (a, b), c12 in bi.items():
+        if c12 >= 2:
+            pmi = round(
+                math.log(c12 * float(n) * float(n) / (float(nb) * uni[a] * uni[b]))
+                / math.log(2.0),
+                6,
+            )
+            want[(a, b)] = (c12, uni[a], uni[b], pmi)
+    assert got == want
+    # ranking: top-1 is the oracle's argmax (pmi desc, then w1, w2)
+    top = collocations_pmi(docs, min_count=2, top_k=1).collect()[0]
+    best = min(want.items(), key=lambda kv: (-kv[1][3], kv[0]))
+    assert (top.w1, top.w2) == best[0]
+
+
+def test_ngram_contamination_known(spark):
+    from motive_spark.datapipe import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),        # shares "a b c" + "b c d" with doc 1
+            (1, "a b c d x"),
+            (2, "p q r s t"),        # fully novel
+            (3, "x y"),              # too short for 3-grams: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared, r.contamination_rate)
+        for r in ngram_contamination(docs, n=3, min_df=2).collect()
+    }
+    assert got == {
+        0: (3, 2, round(2 / 3, 6)),
+        1: (3, 2, round(2 / 3, 6)),
+        2: (3, 0, 0.0),
+    }
+
+
+def test_redact_pii_rewrites(spark):
+    from motive_spark.datapipe import redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.com and carol@ex.org now"),
+        (1, "server 10.0.255.7 talked to 192.168.1.1"),
+        (2, "card 4111111111111111 acct 12345678901234567"),
+        (3, "clean text with short 123 and 1.2 numbers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[0].n_email == 2 and out[0].redacted == "mail <EMAIL> and <EMAIL> now"
+    assert out[1].n_ipv4 == 2 and out[1].redacted == "server <IP> talked to <IP>"
+    assert out[2].n_longnum == 2 and out[2].redacted == "card <NUM> acct <NUM>"
+    r3 = out[3]
+    assert (r3.n_email, r3.n_ipv4, r3.n_longnum) == (0, 0, 0)
+    assert r3.redacted == rows[3][1]
