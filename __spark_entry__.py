@@ -1018,6 +1018,114 @@ ORDER BY e.src, e.dst"""
     return "".join(parts)
 
 
+MSF_ROUNDS = 11  # >= log2(|V|) at sf0.01 — comp count halves per round
+MSF_JUMPS = 11  # >= log2 of the longest possible parent chain
+
+
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the co-purchase graph weighted by
+    shared-order multiplicity, under the total edge order (w, src,
+    dst) — unique, so Boruvka (Spark) and the unrolled oracle agree
+    edge-for-edge."""
+    from motive_spark.kernels import boruvka_msf
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return boruvka_msf(ew).orderBy("src", "dst")
+
+
+def _msf_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    """Unrolled Boruvka: per round, label endpoints, per-component
+    ROW_NUMBER argmin over (w, src, dst), 2-cycle break to the min-id
+    root, ``jumps`` pointer-jump steps, relabel.  Converged rounds are
+    empty no-ops, so a fixed unroll >= log2(|V|) replays the kernel's
+    run-to-convergence exactly."""
+    parts = [
+        """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ew AS MATERIALIZED (
+  SELECT CAST(a.l_partkey AS BIGINT) AS src,
+         CAST(b.l_partkey AS BIGINT) AS dst, COUNT(*) AS w
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+l0 AS MATERIALIZED (
+  SELECT id, id AS c FROM (
+    SELECT DISTINCT src AS id FROM ew UNION SELECT dst FROM ew
+  )
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r - 1}"
+        parts.append(
+            f""",
+x{r} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, ls.c AS cu, ld.c AS cv
+  FROM ew e
+  JOIN {p} ls ON ls.id = e.src JOIN {p} ld ON ld.id = e.dst
+  WHERE ls.c <> ld.c
+),
+ch{r} AS MATERIALIZED (
+  SELECT c, w, src, dst, oc FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY c ORDER BY w, src, dst
+    ) AS rn
+    FROM (
+      SELECT cu AS c, w, src, dst, cv AS oc FROM x{r}
+      UNION ALL
+      SELECT cv AS c, w, src, dst, cu AS oc FROM x{r}
+    )
+  ) WHERE rn = 1
+),
+j{r}_0 AS MATERIALIZED (
+  SELECT a.c,
+         CASE WHEN b.oc = a.c AND a.c < a.oc THEN a.c ELSE a.oc END AS p
+  FROM ch{r} a LEFT JOIN ch{r} b ON b.c = a.oc
+)"""
+        )
+        for k in range(1, jumps + 1):
+            parts.append(
+                f""",
+j{r}_{k} AS MATERIALIZED (
+  SELECT a.c, COALESCE(b.p, a.p) AS p
+  FROM j{r}_{k - 1} a LEFT JOIN j{r}_{k - 1} b ON b.c = a.p
+)"""
+            )
+        parts.append(
+            f""",
+l{r} AS MATERIALIZED (
+  SELECT l.id, COALESCE(j.p, l.c) AS c
+  FROM {p} l LEFT JOIN j{r}_{jumps} j ON j.c = l.c
+)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT src, dst, w FROM ch{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+SELECT DISTINCT src, dst, w FROM (
+  {union}
+) ORDER BY src, dst"""
+    )
+    return "".join(parts)
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
     (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
@@ -1196,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": q_graph_betweenness,
         "graph_hyperball": q_graph_hyperball,
         "graph_ktruss": q_graph_ktruss,
+        "graph_msf": q_graph_msf,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -1306,6 +1415,7 @@ s0 AS (
         "graph_betweenness": _betweenness_sql(),
         "graph_hyperball": _hyperball_sql(),
         "graph_ktruss": _ktruss_sql(),
+        "graph_msf": _msf_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (

@@ -143,6 +143,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_betweenness",
                     "graph_hyperball",
                     "graph_ktruss",
+                    "graph_msf",
                     "graph_coloring",
                     "graph_modularity",
                     "docs_stratified_sample",

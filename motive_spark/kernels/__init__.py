@@ -5,6 +5,7 @@ from motive_spark.kernels.hits import hits
 from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.ktruss import k_truss
+from motive_spark.kernels.msf import boruvka_msf
 from motive_spark.kernels.labelprop import (
     label_propagation,
     seeded_label_propagation,
@@ -25,6 +26,7 @@ __all__ = [
     "hits",
     "k_core",
     "k_truss",
+    "boruvka_msf",
     "connected_components",
     "strongly_connected_components",
     "greedy_coloring",

@@ -1292,3 +1292,56 @@ def test_ktruss_clique_and_triangle_free(spark):
     # a path has no triangles: empty for any k >= 3
     path = [(i, i + 1) for i in range(6)]
     assert k_truss(edges_df(spark, path), 3).count() == 0
+
+
+def py_msf(weighted, n_verts=None):
+    """Kruskal under the (w, src, dst) total order — the unique MSF
+    Boruvka must reproduce edge-for-edge."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    best = {}
+    for a, b, w in weighted:
+        a, b = min(a, b), max(a, b)
+        if a != b and ((a, b) not in best or w < best[(a, b)]):
+            best[(a, b)] = w
+    out = []
+    for (a, b), w in sorted(best.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_boruvka_msf_vs_kruskal(spark, seed):
+    from motive_spark.kernels import boruvka_msf
+
+    rng = random.Random(seed)
+    pairs = random_pairs(60, 300, seed=seed, directed=False)
+    weighted = [(a, b, rng.randrange(1, 40)) for a, b in pairs]
+    df = spark.createDataFrame(weighted, "src long, dst long, w long")
+    got = sorted(tuple(r) for r in boruvka_msf(df).collect())
+    assert got == py_msf(weighted)
+
+
+def test_boruvka_msf_edge_cases(spark):
+    from motive_spark.kernels import boruvka_msf
+
+    # two components: forest has one tree per component
+    pairs = [(0, 1, 5), (1, 2, 3), (0, 2, 9), (10, 11, 1)]
+    df = spark.createDataFrame(pairs, "src long, dst long, w long")
+    got = sorted(tuple(r) for r in boruvka_msf(df).collect())
+    assert got == [(0, 1, 5), (1, 2, 3), (10, 11, 1)]
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    assert boruvka_msf(empty).count() == 0
+    # parallel edges + self loops collapse
+    noisy = [(3, 4, 7), (4, 3, 2), (3, 3, 1)]
+    df2 = spark.createDataFrame(noisy, "src long, dst long, w long")
+    assert sorted(tuple(r) for r in boruvka_msf(df2).collect()) == [(3, 4, 2)]
