@@ -2555,6 +2555,140 @@ FROM s{iters} ORDER BY vec_id"""
     return "".join(parts)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_H_US = 72 * 3600 * 1_000_000  # 72-hour conversion window
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel, first-touch semantics, 72 h
+    horizon from the first view; epoch-microsecond integers
+    throughout (timestamp gotcha discipline)."""
+    from motive_spark.datapipe import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        funnel(ev, FUNNEL_STEPS, FUNNEL_H_US)
+        .withColumnRenamed("user", "user_id")
+        .orderBy("user_id")
+    )
+
+
+def _funnel_sql(h_us: int = FUNNEL_H_US) -> str:
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT user_id AS uid, event_type AS t, epoch_us(ts) AS us FROM events
+),
+f1 AS (SELECT uid, MIN(us) AS t1_us FROM ev WHERE t = '{s1}' GROUP BY uid),
+f2 AS (
+  SELECT f1.uid, f1.t1_us,
+         COALESCE(MIN(CASE WHEN e.us > f1.t1_us
+                            AND e.us <= f1.t1_us + {h_us}
+                           THEN e.us END), -1) AS t2_us
+  FROM f1 LEFT JOIN ev e ON e.uid = f1.uid AND e.t = '{s2}'
+  GROUP BY 1, 2
+),
+f3 AS (
+  SELECT f2.uid, t1_us, t2_us,
+         COALESCE(MIN(CASE WHEN t2_us >= 0 AND e.us > t2_us
+                            AND e.us <= t1_us + {h_us}
+                           THEN e.us END), -1) AS t3_us
+  FROM f2 LEFT JOIN ev e ON e.uid = f2.uid AND e.t = '{s3}'
+  GROUP BY 1, 2, 3
+)
+SELECT uid AS user_id,
+       1 + CAST(t2_us >= 0 AS INT) + CAST(t3_us >= 0 AS INT) AS n_steps,
+       t1_us, t2_us, t3_us
+FROM f3 ORDER BY uid"""
+
+
+AD_SEED = 7
+AD_RMAX = 40
+AD_NUMER = 0.697 * 32 * 32 * (1 << AD_RMAX)
+
+
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raw-HLL distinct-user estimate per event type
+    (md5-derived registers, exact integer harmonic sum) joined with
+    the exact count so the contract pins estimate AND ground truth."""
+    from motive_spark.datapipe import approx_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = approx_distinct(
+        ev, ["user_id"], ["event_type"], seed=AD_SEED, rmax=AD_RMAX
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return approx.join(exact, on="event_type").orderBy("event_type")
+
+
+def _approx_distinct_sql(seed: int = AD_SEED, rmax: int = AD_RMAX) -> str:
+    h1 = f"('0x' || substr(md5(user_id || '|{seed}'), 1, 8))::BIGINT"
+    h2 = f"('0x' || substr(md5(user_id || '|{seed}'), 9, 8))::BIGINT"
+    return f"""WITH regs AS MATERIALIZED (
+  SELECT event_type, {h1} % 32 AS j,
+         MAX(LEAST(CASE WHEN {h2} = 0 THEN {rmax}
+                        ELSE 33 - LENGTH(bin({h2})) END, {rmax})) AS r
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(1 AS BIGINT) << ({rmax} - r)) AS BIGINT)
+         + (32 - COUNT(*)) * (CAST(1 AS BIGINT) << {rmax}) AS s_int,
+         CAST(32 - COUNT(*) AS INT) AS n_zero
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT a.event_type, CAST(a.s_int AS BIGINT) AS s_int, a.n_zero,
+       ROUND(CASE WHEN {AD_NUMER!r} / a.s_int <= 80.0 AND a.n_zero > 0
+                  THEN 32.0 * ln(32.0 / a.n_zero)
+                  ELSE {AD_NUMER!r} / a.s_int END, 6) AS approx_distinct,
+       x.exact_distinct
+FROM agg a JOIN exact x USING (event_type) ORDER BY a.event_type"""
+
+
+RP_DIM = 8
+RP_SEED = 11
+RP_SCALE = 1_000_000
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign random projection 64 → 8 dims: +-1 matrix from md5
+    parity, coordinates quantized to integer millionths first, so
+    every output component is an exact BIGINT sum both engines
+    reproduce."""
+    from motive_spark.datapipe import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(
+        emb, RP_DIM, seed=RP_SEED, scale=RP_SCALE
+    ).orderBy("vec_id", "j")
+
+
+def _random_projection_sql(
+    out_dim: int = RP_DIM, seed: int = RP_SEED, scale: int = RP_SCALE
+) -> str:
+    return f"""WITH comps AS MATERIALIZED (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+           AS xq
+  FROM embeddings
+),
+proj AS MATERIALIZED (
+  SELECT i.range AS i, CAST(j.range AS INT) AS j,
+         CASE WHEN ('0x' || substr(
+                md5(i.range || '|' || j.range || '|{seed}'), 1, 8
+              ))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range(64) i, range({out_dim}) j
+)
+SELECT c.id AS vec_id, p.j, CAST(SUM(c.xq * p.s) AS BIGINT) AS y_q
+FROM comps c JOIN proj p ON p.i = c.i
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap): one window pass + one
     aggregation; all time math in integer micros, value in cents."""
@@ -2643,6 +2777,9 @@ _DATAPIPE_QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_enrich": q_stream_enrich,
     "events_sessionize": q_events_sessionize,
+    "events_funnel": q_events_funnel,
+    "events_approx_distinct": q_events_approx_distinct,
+    "emb_random_projection": q_emb_random_projection,
     "events_asof_clicks": q_events_asof_clicks,
     "events_windowed_counts": q_events_windowed_counts,
     "events_props_json": q_events_props_json,
@@ -2841,6 +2978,9 @@ SELECT c.c_mktsegment, e.event_type,
        MIN(e.event_id) AS first_event_id
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_funnel": _funnel_sql(),
+    "events_approx_distinct": _approx_distinct_sql(),
+    "emb_random_projection": _random_projection_sql(),
     "events_sessionize": """
 WITH x AS (
   SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -188,3 +188,74 @@ def asof_join(
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in right_cols],
         lag_us.alias("asof_lag_us"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion per user: the first occurrence of
+    ``steps[0]``, then for each later step the FIRST occurrence
+    strictly after the previous step's time and within ``horizon_us``
+    microseconds of the funnel start — the standard product-analytics
+    conversion query (first-touch attribution semantics).
+
+    Returns (user, n_steps, t1_us..tK_us) with epoch-microsecond
+    times, -1 for steps never reached; users who never fire step 1
+    are absent.  All times are exact integers (cross-engine hashable,
+    the repo's timestamp discipline).
+
+    Scale shape: one filtered min-aggregation per step, each keyed on
+    the user column (map-side combinable), chained by equi-joins on
+    that same key — partitioning is reused across every stage, no
+    window over the full event stream, no per-user sort.  Cost is
+    len(steps) passes; at 100-TB scale filter events to the step
+    types once and the passes read only funnel-relevant rows.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel: need at least 2 steps")
+    us = _micros(events, ts_col).alias("_us")
+    ev = events.select(
+        F.col(user_col).alias("user"), F.col(type_col).alias("t"), us
+    )
+    cur = (
+        ev.where(F.col("t") == steps[0])
+        .groupBy("user")
+        .agg(F.min("_us").alias("t1_us"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("t") == step).select(
+            "user", F.col("_us").alias("_cand")
+        )
+        # conditional min, NOT a filter: a user whose previous step is
+        # -1 (or whose candidates all miss the window) must keep their
+        # row with t{i}_us = -1, not vanish from the funnel table
+        valid = (
+            (F.col(f"t{i - 1}_us") >= 0)
+            & (F.col("_cand") > F.col(f"t{i - 1}_us"))
+            & (F.col("_cand") <= F.col("t1_us") + F.lit(horizon_us))
+        )
+        cur = (
+            cur.join(nxt, on="user", how="left")
+            .groupBy("user", *[f"t{j}_us" for j in range(1, i)])
+            .agg(
+                F.min(F.when(valid, F.col("_cand"))).alias(f"t{i}_us")
+            )
+            .select(
+                "user",
+                *[f"t{j}_us" for j in range(1, i)],
+                F.coalesce(f"t{i}_us", F.lit(-1)).alias(f"t{i}_us"),
+            )
+        )
+    n_steps = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        n_steps = n_steps + F.when(F.col(f"t{i}_us") >= 0, 1).otherwise(0)
+    return cur.select(
+        "user",
+        n_steps.alias("n_steps"),
+        *[f"t{j}_us" for j in range(1, len(steps) + 1)],
+    )

@@ -111,3 +111,102 @@ def test_stream_windowed_event_counts_matches_batch(spark, tmp_path):
         "2024-01-01 10:00:00": (2, 300),
         "2024-01-01 11:00:00": (1, 400),
     }
+
+
+def test_funnel_semantics(spark):
+    """Hand-computed ordered funnel: strict ordering, horizon from
+    step-1 time, -1 for unreached steps, users without step 1 absent."""
+    from motive_spark.datapipe import funnel
+
+    rows = [
+        # u1 completes all 3 in order
+        (1, _ts(0), "view"),
+        (1, _ts(1), "click"),
+        (1, _ts(2), "purchase"),
+        # u2: click BEFORE view -> click doesn't count; later click ok
+        (2, _ts(0), "click"),
+        (2, _ts(1), "view"),
+        (2, _ts(5), "click"),
+        # u3: purchase outside the horizon
+        (3, _ts(0), "view"),
+        (3, _ts(1), "click"),
+        (3, _ts(59), "purchase"),
+        # u4: never views -> absent
+        (4, _ts(0), "click"),
+        (4, _ts(1), "purchase"),
+        # u5: purchase before click -> step3 never fires after step2
+        (5, _ts(0), "view"),
+        (5, _ts(1), "purchase"),
+        (5, _ts(2), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    horizon = 30 * 60 * 1_000_000  # 30 minutes
+    out = {
+        r["user"]: r
+        for r in funnel(
+            ev, ["view", "click", "purchase"], horizon
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["n_steps"] == 3
+    assert out[2]["n_steps"] == 2  # pre-view click ignored, 10:05 click used
+    assert out[2]["t2_us"] == int(_ts(5).timestamp() * 1e6) or out[2][
+        "t2_us"
+    ] > out[2]["t1_us"]
+    assert out[3]["n_steps"] == 2 and out[3]["t3_us"] == -1  # horizon miss
+    assert out[5]["n_steps"] == 2 and out[5]["t3_us"] == -1  # order miss
+
+
+def test_approx_distinct_accuracy(spark):
+    """Raw-HLL estimate within ~3 rse (18% * 3) of truth on two groups
+    of very different cardinality, and invariant to duplication."""
+    from motive_spark.datapipe import approx_distinct
+
+    rows = [("a", i % 500) for i in range(5000)] + [
+        ("b", i % 37) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in approx_distinct(df, ["k"], ["g"]).collect()}
+    assert abs(out["a"]["approx_distinct"] - 500) / 500 < 0.55
+    assert abs(out["b"]["approx_distinct"] - 37) / 37 < 0.55
+    # duplication invariance: the sketch is a pure function of the SET
+    df2 = df.union(df).union(df)
+    out2 = {
+        r["g"]: r for r in approx_distinct(df2, ["k"], ["g"]).collect()
+    }
+    assert out2["a"]["s_int"] == out["a"]["s_int"]
+    assert out2["b"]["s_int"] == out["b"]["s_int"]
+
+
+def test_random_projection_jl(spark):
+    """Sign projection: exact integer determinism across repartition,
+    and the JL property that projected dot products correlate with
+    input dot products over random unit vectors."""
+    import numpy as np
+
+    from motive_spark.datapipe import random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(emb, 16).toPandas()
+    assert len(out) == 40 * 16
+    # determinism across physical layout
+    out2 = random_projection(emb.repartition(7), 16).toPandas()
+    a = out.sort_values(["vec_id", "j"]).reset_index(drop=True)
+    b = out2.sort_values(["vec_id", "j"]).reset_index(drop=True)
+    assert (a["y_q"] == b["y_q"]).all()
+    # JL correlation: projected cosine tracks true cosine
+    proj = np.zeros((40, 16))
+    for r in out.itertuples():
+        proj[int(r.vec_id), int(r.j)] = r.y_q
+    pn = proj / np.linalg.norm(proj, axis=1, keepdims=True)
+    true_cos = (vecs @ vecs.T)[np.triu_indices(40, 1)]
+    proj_cos = (pn @ pn.T)[np.triu_indices(40, 1)]
+    assert np.corrcoef(true_cos, proj_cos)[0, 1] > 0.4
