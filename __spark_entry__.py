@@ -674,6 +674,39 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "id")
 
 
+def q_graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping (delta=2) to convergence on the same weighted
+    graph and sources as graph_sssp — converged distances are exactly
+    Dijkstra's, and the oracle's 8 unrolled Bellman-Ford rounds are
+    past fixpoint at this SF (measured convergence: 3 effective
+    rounds), so the two schedules must hash-match."""
+    from motive_spark.kernels import delta_stepping
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    wund = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    verts = wund.select(F.col("src").alias("id")).union(
+        wund.select(F.col("dst").alias("id"))
+    ).distinct()
+    sources = [r.id for r in verts.orderBy("id").limit(3).collect()]
+    return delta_stepping(
+        wund, sources, delta=2, weight_col="mult"
+    ).orderBy("source", "id")
+
+
 def _sssp_sql(rounds: int = 6) -> str:
     parts = [
         """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1296,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
+        "graph_sssp_delta": q_graph_sssp_delta,
         "graph_harmonic": q_graph_harmonic,
         "graph_random_walks": q_graph_random_walks,
         "graph_node2vec_walks": q_graph_node2vec_walks,
@@ -1417,6 +1451,7 @@ s0 AS (
         "graph_ktruss": _ktruss_sql(),
         "graph_msf": _msf_sql(),
         "graph_sssp": _sssp_sql(),
+        "graph_sssp_delta": _sssp_sql(rounds=8),
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (
             "WITH " + SQL_GRAPH + """,
@@ -2650,6 +2685,58 @@ SELECT a.event_type, CAST(a.s_int AS BIGINT) AS s_int, a.n_zero,
 FROM agg a JOIN exact x USING (event_type) ORDER BY a.event_type"""
 
 
+RETENTION_P_US = 7 * 24 * 3600 * 1_000_000  # weekly cohorts
+ROLLING_W_US = 6 * 3600 * 1_000_000  # 6-hour trailing window
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the events table —
+    cohort by first-activity week (integer weeks since epoch),
+    counted once per (cohort, offset) active week."""
+    from motive_spark.datapipe import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, RETENTION_P_US).orderBy(
+        "cohort_period", "offset_periods"
+    )
+
+
+def _retention_sql(p_us: int = RETENTION_P_US) -> str:
+    return f"""WITH acts AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // {p_us} AS p FROM events
+),
+cohort AS (SELECT u, MIN(p) AS c FROM acts GROUP BY u)
+SELECT c.c AS cohort_period, a.p - c.c AS offset_periods,
+       COUNT(*) AS n_users
+FROM acts a JOIN cohort c USING (u)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 6-hour velocity features (count + integer
+    cents sum) via a RANGE frame over integer micros — tie-order
+    independent, hence cross-engine hashable."""
+    from motive_spark.datapipe import rolling_window_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_window_stats(ev, ROLLING_W_US).orderBy("event_id")
+
+
+def _rolling_sql(w_us: int = ROLLING_W_US) -> str:
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_window,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_window
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {w_us} PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
+
 RP_DIM = 8
 RP_SEED = 11
 RP_SCALE = 1_000_000
@@ -2778,6 +2865,8 @@ _DATAPIPE_QUERIES = {
     "stream_enrich": q_stream_enrich,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+    "events_rolling_stats": q_events_rolling,
     "events_approx_distinct": q_events_approx_distinct,
     "emb_random_projection": q_emb_random_projection,
     "events_asof_clicks": q_events_asof_clicks,
@@ -2979,6 +3068,8 @@ SELECT c.c_mktsegment, e.event_type,
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_funnel": _funnel_sql(),
+    "events_retention": _retention_sql(),
+    "events_rolling_stats": _rolling_sql(),
     "events_approx_distinct": _approx_distinct_sql(),
     "emb_random_projection": _random_projection_sql(),
     "events_sessionize": """

@@ -259,3 +259,95 @@ def funnel(
         n_steps.alias("n_steps"),
         *[f"t{j}_us" for j in range(1, len(steps) + 1)],
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their FIRST event (periods are fixed ``period_us``-microsecond
+    buckets since epoch), then counted once per (cohort, offset) for
+    every later period in which they were active — the standard
+    product-analytics retention matrix.
+
+    Returns (cohort_period, offset_periods, n_users); offset 0 rows
+    equal cohort sizes by construction.  All bucket math is exact
+    integer floor-division.
+
+    Scale shape: one min-aggregation keyed on the user, one distinct
+    over (user, period) — both map-side combinable on the same key —
+    then a broadcast-size final count; no windows, no per-user sort.
+    """
+    us = _micros(events, ts_col)
+    acts = (
+        events.select(
+            F.col(user_col).alias("user"),
+            (us / F.lit(period_us)).cast("long").alias("p"),
+        )
+        .groupBy("user", "p")
+        .agg(F.lit(1))
+        .select("user", "p")
+    )
+    cohort = acts.groupBy("user").agg(F.min("p").alias("c"))
+    out = (
+        acts.join(cohort, on="user")
+        .select("c", (F.col("p") - F.col("c")).alias("off"))
+    )
+    if max_offset is not None:
+        out = out.where(F.col("off") <= max_offset)
+    return out.groupBy("c", "off").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("c").alias("cohort_period"),
+        F.col("off").alias("offset_periods"),
+        "n_users",
+    )
+
+
+def rolling_window_stats(
+    events: DataFrame,
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the
+    count and integer-cents value sum of the same user's events in
+    the ``window_us`` microseconds ending at (and including) it — the
+    feature-engineering primitive behind rate counters / velocity
+    features in fraud and recommendation pipelines.
+
+    A RANGE frame over integer micros (not ROWS): simultaneous events
+    share one frame, so the result is independent of tie order — the
+    property that makes it cross-engine hashable.
+
+    Scale shape: one shuffle on the user key + an in-partition range
+    frame (Spark evaluates it with a sliding two-pointer over the
+    sorted partition, O(rows) state).  A pathological power user
+    serializes into one task — same documented salting caveat as
+    sessionize.
+    """
+    us = _micros(events, ts_col)
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(id_col).alias("event_id"),
+        us.alias("_us"),
+        cents.alias("_cents"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("_us")
+        .rangeBetween(-window_us, 0)
+    )
+    return ev.select(
+        F.col("user").alias(user_col),
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum("_cents").over(w).alias("cents_window"),
+    )

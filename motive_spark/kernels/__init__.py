@@ -16,7 +16,11 @@ from motive_spark.kernels.pagerank import (
     weighted_pagerank,
 )
 from motive_spark.kernels.scc import strongly_connected_components
-from motive_spark.kernels.sssp import harmonic_centrality, shortest_paths
+from motive_spark.kernels.sssp import (
+    delta_stepping,
+    harmonic_centrality,
+    shortest_paths,
+)
 from motive_spark.kernels.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -33,6 +37,7 @@ __all__ = [
     "betweenness_sampled",
     "hyperball",
     "shortest_paths",
+    "delta_stepping",
     "harmonic_centrality",
     "label_propagation",
     "seeded_label_propagation",

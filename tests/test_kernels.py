@@ -1345,3 +1345,57 @@ def test_boruvka_msf_edge_cases(spark):
     noisy = [(3, 4, 7), (4, 3, 2), (3, 3, 1)]
     df2 = spark.createDataFrame(noisy, "src long, dst long, w long")
     assert sorted(tuple(r) for r in boruvka_msf(df2).collect()) == [(3, 4, 2)]
+
+
+def test_delta_stepping_matches_dijkstra(spark):
+    """Delta-stepping vs a heap Dijkstra oracle on random weighted
+    graphs, across delta values spanning all-light (delta >= max w,
+    degenerates to BF rounds) to all-heavy (delta = 1 with w >= 2):
+    the schedule changes, the distances must not."""
+    import heapq
+    import random
+
+    from motive_spark.kernels import delta_stepping
+
+    def dijkstra(pairs, weights, sources, directed):
+        adj = {}
+        for (a, b), w in zip(pairs, weights):
+            adj.setdefault(a, []).append((b, w))
+            if not directed:
+                adj.setdefault(b, []).append((a, w))
+        out = {}
+        for s in sources:
+            dist = {s: 0}
+            pq = [(0, s)]
+            while pq:
+                d, u = heapq.heappop(pq)
+                if d > dist.get(u, float("inf")):
+                    continue
+                for v, w in adj.get(u, []):
+                    nd = d + w
+                    if nd < dist.get(v, float("inf")):
+                        dist[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            for v, d in dist.items():
+                out[(s, v)] = d
+        return out
+
+    rng = random.Random(17)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    weights = [rng.randrange(2, 9) for _ in pairs]
+    edges = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in zip(pairs, weights)],
+        "src long, dst long, mult long",
+    )
+    for directed in (False, True):
+        want = dijkstra(pairs, weights, [0, 1], directed)
+        for delta in (1, 3, 10):
+            got = {
+                (r.source, r.id): r.dist
+                for r in delta_stepping(
+                    edges, [0, 1], delta, weight_col="mult",
+                    directed=directed,
+                ).collect()
+            }
+            assert got == want, (directed, delta)

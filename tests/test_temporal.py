@@ -210,3 +210,57 @@ def test_random_projection_jl(spark):
     true_cos = (vecs @ vecs.T)[np.triu_indices(40, 1)]
     proj_cos = (pn @ pn.T)[np.triu_indices(40, 1)]
     assert np.corrcoef(true_cos, proj_cos)[0, 1] > 0.4
+
+
+def test_retention_cohorts_semantics(spark):
+    """Hand-computed weekly retention: cohort by first-active period,
+    one count per active period, offset-0 equals cohort size."""
+    from motive_spark.datapipe import retention_cohorts
+
+    P = 1_000_000  # 1-second periods for the fixture
+    rows = [
+        # u1 cohort p0, active p0,p1,p3 (p1 twice -> counted once)
+        (1, _ts(0, 0)), (1, _ts(0, 1)), (1, _ts(0, 1, 5)), (1, _ts(0, 3)),
+        # u2 cohort p0, active p0 only
+        (2, _ts(0, 0, 999)),
+        # u3 cohort p1, active p1,p3
+        (3, _ts(0, 1)), (3, _ts(0, 3)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_period"] % 1000, r["offset_periods"]): r["n_users"]
+        for r in retention_cohorts(ev, P).collect()
+    }
+    base = dt.datetime(2024, 1, 1, 10, 0).timestamp()
+    p0 = int(base) % 1000
+    assert out == {
+        (p0, 0): 2, (p0, 1): 1, (p0, 3): 1,
+        ((p0 + 1) % 1000, 0): 1, ((p0 + 1) % 1000, 2): 1,
+    }
+
+
+def test_rolling_window_stats_semantics(spark):
+    """Trailing range window: inclusive bounds, tie rows share one
+    frame, per-user isolation, exact cents."""
+    from motive_spark.datapipe import rolling_window_stats
+
+    rows = [
+        (1, 10, _ts(0, 0), 1.00),
+        (1, 11, _ts(0, 30), 2.00),   # within 60s of e10
+        (1, 12, _ts(1, 30), 4.00),   # 60s window: includes e11 (exactly 60s)
+        (1, 13, _ts(1, 30), 8.00),   # tie with e12 -> same frame
+        (2, 20, _ts(0, 10), 0.50),   # other user isolated
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["n_window"], r["cents_window"])
+        for r in rolling_window_stats(ev, 60 * 1_000_000).collect()
+    }
+    assert out[10] == (1, 100)
+    assert out[11] == (2, 300)
+    # e12/e13 frame: e11 (exactly 60s back, inclusive) + both tie rows
+    assert out[12] == (3, 1400)
+    assert out[13] == (3, 1400)
+    assert out[20] == (1, 50)
