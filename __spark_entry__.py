@@ -674,6 +674,87 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "id")
 
 
+NEG_K = 4
+NEG_SEED = 23
+
+
+def q_graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style single-layer neighborhood aggregation: per vertex of
+    the co-purchase graph, count/sum/min/max of neighbors' retail
+    price (integer cents) and size — exact integer sums both engines
+    replay."""
+    from motive_spark.graph import neighbor_feature_agg
+
+    und = _und(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return neighbor_feature_agg(
+        und, part, feature_cols=["price_cents", "size"]
+    ).orderBy("id")
+
+
+_NEIGHBOR_FEATURES_SQL = (
+    "WITH "
+    + SQL_GRAPH
+    + """,
+feat AS MATERIALIZED (
+  SELECT CAST(p_partkey AS BIGINT) AS dst,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT e.src AS id, COUNT(*) AS n_nbrs,
+       CAST(SUM(f.price_cents) AS BIGINT) AS sum_price_cents,
+       MIN(f.price_cents) AS min_price_cents,
+       MAX(f.price_cents) AS max_price_cents,
+       CAST(SUM(f.size) AS BIGINT) AS sum_size,
+       MIN(f.size) AS min_size, MAX(f.size) AS max_size
+FROM sym e JOIN feat f ON f.dst = e.dst
+GROUP BY e.src ORDER BY id"""
+)
+
+
+def q_graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling (k=4 md5-derived trials
+    per vertex, rejection of self-pairs and existing edges) — the
+    link-prediction training-set complement; the oracle regenerates
+    every surviving pair from the same md5 ranks."""
+    from motive_spark.graph import negative_samples
+
+    und = _und(spark, sf_dir)
+    return negative_samples(und, k=NEG_K, seed=NEG_SEED).orderBy(
+        "src", "dst", "trial"
+    )
+
+
+_NEGATIVE_SAMPLES_SQL = (
+    "WITH "
+    + SQL_GRAPH
+    + f""",
+n AS (SELECT COUNT(*) AS n FROM verts),
+ranked AS MATERIALIZED (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS rank FROM verts
+),
+cand AS (
+  SELECT v.id AS src, t.trial,
+         ('0x' || substr(md5(v.id || '|' || t.trial || '|{NEG_SEED}'),
+                         1, 14))::BIGINT % (SELECT n FROM n) AS rank
+  FROM verts v, (SELECT UNNEST(range(1, {NEG_K} + 1)) AS trial) t
+)
+SELECT c.src, r.id AS dst, c.trial
+FROM cand c JOIN ranked r USING (rank)
+WHERE c.src <> r.id
+  AND NOT EXISTS (SELECT 1 FROM sym s
+                  WHERE s.src = c.src AND s.dst = r.id)
+ORDER BY c.src, dst, c.trial"""
+)
+
+
 def q_graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-stepping (delta=2) to convergence on the same weighted
     graph and sources as graph_sssp — converged distances are exactly
@@ -1330,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
         "graph_sssp_delta": q_graph_sssp_delta,
+        "graph_neighbor_features": q_graph_neighbor_features,
+        "graph_negative_samples": q_graph_negative_samples,
         "graph_harmonic": q_graph_harmonic,
         "graph_random_walks": q_graph_random_walks,
         "graph_node2vec_walks": q_graph_node2vec_walks,
@@ -1452,6 +1535,8 @@ s0 AS (
         "graph_msf": _msf_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_sssp_delta": _sssp_sql(rounds=8),
+        "graph_neighbor_features": _NEIGHBOR_FEATURES_SQL,
+        "graph_negative_samples": _NEGATIVE_SAMPLES_SQL,
         "graph_harmonic": _harmonic_sql(),
         "graph_khop": (
             "WITH " + SQL_GRAPH + """,

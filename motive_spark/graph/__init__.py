@@ -1,3 +1,7 @@
+from motive_spark.graph.features import (
+    negative_samples,
+    neighbor_feature_agg,
+)
 from motive_spark.graph.gml import read_gml, write_gml
 from motive_spark.graph.metrics import (
     degree_assortativity,
@@ -32,5 +36,7 @@ __all__ = [
     "community_modularity",
     "link_prediction_scores",
     "link_prediction_topk",
+    "neighbor_feature_agg",
+    "negative_samples",
     "write_gml",
 ]

@@ -1399,3 +1399,57 @@ def test_delta_stepping_matches_dijkstra(spark):
                 ).collect()
             }
             assert got == want, (directed, delta)
+
+
+def test_neighbor_feature_agg(spark):
+    """Hand-computed single-layer neighbor aggregation on a path
+    graph, plus the integer-type guard."""
+    from motive_spark.graph import neighbor_feature_agg
+
+    edges = edges_df(spark, [(1, 2), (2, 3)])
+    feat = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, price long"
+    )
+    out = {
+        r["id"]: r
+        for r in neighbor_feature_agg(
+            edges, feat, feature_cols=["price"]
+        ).collect()
+    }
+    assert out[1]["n_nbrs"] == 1 and out[1]["sum_price"] == 20
+    assert out[2]["n_nbrs"] == 2 and out[2]["sum_price"] == 40
+    assert out[2]["min_price"] == 10 and out[2]["max_price"] == 30
+    assert out[3]["sum_price"] == 20
+    # directed: only out-neighbors aggregate
+    d = {
+        r["id"]: r["sum_price"]
+        for r in neighbor_feature_agg(
+            edges, feat, feature_cols=["price"], directed=True
+        ).collect()
+    }
+    assert d == {1: 20, 2: 30}
+    # float features must be rejected (exactness contract)
+    bad = spark.createDataFrame([(1, 1.5)], "id long, price double")
+    with pytest.raises(ValueError):
+        neighbor_feature_agg(edges, bad, feature_cols=["price"])
+
+
+def test_negative_samples(spark):
+    """Sampled negatives are never existing edges or self-pairs, at
+    most k per vertex, and bit-identical across physical layout."""
+    from motive_spark.graph import negative_samples
+
+    pairs = [(i, (i + 1) % 12) for i in range(12)] + [(0, 5), (3, 9)]
+    edges = edges_df(spark, pairs)
+    out = negative_samples(edges, k=3, seed=23).collect()
+    assert out, "expected some negatives on a sparse graph"
+    existing = set(pairs) | {(b, a) for a, b in pairs}
+    per_src = {}
+    for r in out:
+        assert r["src"] != r["dst"]
+        assert (r["src"], r["dst"]) not in existing
+        assert 1 <= r["trial"] <= 3
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert max(per_src.values()) <= 3
+    out2 = negative_samples(edges.repartition(5), k=3, seed=23).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
