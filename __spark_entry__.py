@@ -1724,6 +1724,79 @@ FROM comp JOIN csz USING (cluster) ORDER BY doc_id"""
     )
 
 
+def q_dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of lexical (Jaccard >= 0.15) and semantic (cosine >=
+    0.95) duplicate signals closed transitively through the CC kernel
+    — exact embedding pairs here so the oracle replays the identical
+    pair set (the LSH path is the recall-tested scale variant)."""
+    from motive_spark.datapipe import multi_signal_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return multi_signal_dedup(
+        docs,
+        emb,
+        n=3,
+        jaccard_threshold=0.15,
+        cos_threshold=0.95,
+        max_doc_freq=1000,
+        method="exact",
+    ).orderBy("doc_id")
+
+
+def _multi_signal_sql(
+    threshold: float = 0.15, cos: float = 0.95, max_df: int = 1000
+) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(3)
+        + f""",
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+rare AS MATERIALIZED (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= {max_df}
+),
+g AS MATERIALIZED (SELECT doc_id, grams.gram FROM grams JOIN rare ON grams.gram = rare.gram),
+shared AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(shared * 1.0 / (sa.n_grams + sb.n_grams - shared), 6)
+        >= {threshold}
+),
+emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+epairs AS MATERIALIZED (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM emb a CROSS JOIN emb b
+  WHERE a.vec_id < b.vec_id
+    AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {cos}
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM tpairs UNION SELECT doc_a, doc_b FROM epairs
+),
+psym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, m) AS (
+  SELECT src AS id, src AS m FROM psym
+  UNION
+  SELECT s.dst AS id, r.m FROM psym s JOIN reach r ON s.src = r.id
+),
+comp AS (SELECT id, MIN(m) AS cluster FROM reach GROUP BY id),
+csz AS (SELECT cluster, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT comp.id AS doc_id, comp.cluster, csz.cluster_size,
+       (comp.id = comp.cluster) AS is_keeper
+FROM comp JOIN csz USING (cluster) ORDER BY doc_id"""
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.datapipe import minhash_lsh_candidates
 
@@ -2931,6 +3004,7 @@ _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_multi_signal": q_dedup_multi_signal,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_token_stats": q_text_token_stats,
@@ -3107,6 +3181,7 @@ SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_multi_signal": _multi_signal_sql(),
     "text_gopher": _gopher_sql(),
 
     # byte-exact featurizer contract: blob bytes recovered from hex()

@@ -221,3 +221,80 @@ def dedup_clusters(
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def multi_signal_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+    cos_threshold: float = 0.4,
+    max_doc_freq: int = 1000,
+    method: str = "lsh",
+    id_map=None,
+) -> DataFrame:
+    """Multi-signal near-duplicate clusters: the UNION of lexical
+    (n-gram Jaccard) and semantic (embedding-cosine) duplicate pairs,
+    closed transitively through the connected-components kernel — the
+    production dedup pattern where paraphrases (cosine catches, Jaccard
+    misses) and boilerplate edits (Jaccard catches, cosine may miss)
+    must land in one cluster.
+
+    ``embeddings.vec_id`` is assumed to BE the doc id (pass ``id_map``
+    as a (vec_id, doc_id) DataFrame otherwise).  ``method`` forwards to
+    :func:`embedding_near_duplicates` — "lsh" is the scale path,
+    "exact" the verification baseline.
+
+    Returns the :func:`dedup_clusters` shape (doc_id, cluster,
+    cluster_size, is_keeper); singletons absent.
+
+    Scale shape: both pair generators are bounded candidate joins (df-
+    capped inverted index / LSH buckets — no all-pairs on the scale
+    path), the union is a row-level concat, and the closure is the
+    log-round pointer-jumping CC kernel.
+    """
+    from motive_spark.datapipe.similarity import embedding_near_duplicates
+    from motive_spark.kernels import connected_components
+
+    text_pairs = ngram_jaccard_pairs(
+        docs, n=n, threshold=jaccard_threshold, max_doc_freq=max_doc_freq
+    ).select("doc_a", "doc_b")
+    emb_pairs = embedding_near_duplicates(
+        embeddings, threshold=cos_threshold, method=method
+    ).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    if id_map is not None:
+        m = id_map.select(
+            F.col("vec_id").alias("doc_a"), F.col("doc_id").alias("_a")
+        )
+        emb_pairs = (
+            emb_pairs.join(m, on="doc_a")
+            .select(
+                F.col("_a").alias("doc_a"),
+                F.col("doc_b").alias("vec_b"),
+            )
+            .join(
+                id_map.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("doc_id").alias("doc_b"),
+                ),
+                on="vec_b",
+            )
+            .select("doc_a", "doc_b")
+        )
+    pairs = text_pairs.unionByName(emb_pairs).distinct()
+    cc = connected_components(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cc.join(sizes, on="component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

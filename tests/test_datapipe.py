@@ -705,3 +705,39 @@ def test_redact_pii_rewrites(spark):
     r3 = out[3]
     assert (r3.n_email, r3.n_ipv4, r3.n_longnum) == (0, 0, 0)
     assert r3.redacted == rows[3][1]
+
+
+def test_multi_signal_dedup_cross_signal_chain(spark):
+    """A lexical link (1~2) chained with a semantics-only link (2~3,
+    near-identical embeddings but disjoint text) must close into ONE
+    cluster — the union property neither signal alone provides."""
+    from motive_spark.datapipe import multi_signal_dedup
+
+    words = [f"w{i}" for i in range(30)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:24] + [f"x{i}" for i in range(6)])  # ~t1 lexically
+    t3 = " ".join(f"q{i}" for i in range(30))  # lexically unrelated
+    lone = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (9, lone)], "doc_id long, text string"
+    )
+    # embeddings: 2 and 3 nearly parallel; 1 and 9 orthogonal to them
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.999, 0.01, 0.0]),
+            (9, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.doc_id: r
+        for r in multi_signal_dedup(
+            docs, emb, n=3, jaccard_threshold=0.35, cos_threshold=0.95,
+            method="exact",
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert {out[i].cluster for i in (1, 2, 3)} == {1}
+    assert out[1].is_keeper and out[1].cluster_size == 3
