@@ -3552,7 +3552,109 @@ def q_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1995-03-15"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (public spec) in exact fixed-point:
+    qty/base in cents, disc_price in 1e-4 units, charge in 1e-6 units
+    — every aggregate an integer BIGINT sum, the published decimal
+    semantics without float drift.  Plan: one scan, one
+    map-side-combinable groupBy on a 6-ish-key space; the filter and
+    the 7-column projection push down to the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    return (
+        li.where(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_c"),
+            F.sum(ep_c).alias("sum_base_c"),
+            F.sum(ep_c * (100 - disc_c)).alias("sum_disc_price_c4"),
+            F.sum(ep_c * (100 - disc_c) * (100 + tax_c)).alias(
+                "sum_charge_c6"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_price_c4,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_c6,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (public spec): revenue per
+    unshipped order in a market segment — the canonical broadcast-dim
+    ⋈ fact ⋈ fact plan.  The customer side is explicitly
+    broadcast (a filtered dimension); lineitem⋈orders shuffles on the
+    orderkey both sides already share.  Revenue summed in exact 1e-4
+    units, top 10 by (revenue, orderkey)."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.date_format("o_orderdate", "yyyy-MM-dd") < Q3_DATE
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.date_format("l_shipdate", "yyyy-MM-dd") > Q3_DATE
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(ep_c * (100 - disc_c)).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND strftime(o.o_orderdate, '%Y-%m-%d') < '{Q3_DATE}'
+  AND strftime(l.l_shipdate, '%Y-%m-%d') > '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10"""
+
+
 _RELATIONAL_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "events_user_stats": q_events_user_stats,
     "events_top3_per_type": q_events_top3_per_type,
     "orders_cube": q_orders_cube,
@@ -3561,6 +3663,8 @@ _RELATIONAL_QUERIES = {
 }
 
 _RELATIONAL_ORACLES = {
+    "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q3": _TPCH_Q3_SQL,
     "events_user_stats": """
 SELECT user_id, COUNT(*) AS n_events,
        ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / (COUNT(*) * 100.0), 6) AS avg_value,
