@@ -147,6 +147,16 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_coloring",
                     "graph_modularity",
                     "docs_stratified_sample",
+                    "events_funnel",
+                    "events_retention",
+                    "events_rolling_stats",
+                    "events_approx_distinct",
+                    "emb_random_projection",
+                    "graph_sssp_delta",
+                    "graph_neighbor_features",
+                    "graph_negative_samples",
+                    "tpch_q1",
+                    "tpch_q3",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle
@@ -154,7 +164,15 @@ def _extra_benches(spark) -> dict[str, float]:
             # motif_planted_factors pins the distributed scorer on a
             # 13-node fixture (pure fixed overhead, not throughput —
             # motif_fast_experiment times that pipeline end to end)
-            and k not in ("dedup_embedding_cosine", "motif_planted_factors")
+            # dedup_multi_signal's CONTRACT pins method="exact" (the
+            # oracle-able all-pairs embedding side) — quadratic like
+            # dedup_embedding_cosine; the LSH-path composition is timed
+            # separately below
+            and k not in (
+                "dedup_embedding_cosine",
+                "dedup_multi_signal",
+                "motif_planted_factors",
+            )
         ]
         for k in extra:
             # each extra starts cache-cold: entry queries cache their own
@@ -176,6 +194,17 @@ def _extra_benches(spark) -> dict[str, float]:
         t0 = time.time()
         embedding_near_duplicates(emb, threshold=0.4, method="lsh").count()
         timings["dedup_embedding_cosine_lsh"] = round(time.time() - t0, 3)
+
+        from motive_spark.datapipe import multi_signal_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        spark.catalog.clearCache()
+        t0 = time.time()
+        multi_signal_dedup(
+            docs, emb, n=3, jaccard_threshold=0.15, cos_threshold=0.95,
+            max_doc_freq=1000, method="lsh",
+        ).count()
+        timings["dedup_multi_signal_lsh"] = round(time.time() - t0, 3)
     except Exception:  # noqa: BLE001 — extras must never sink the bench
         pass
     return timings
