@@ -3652,9 +3652,141 @@ GROUP BY 1, 2, 3
 ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10"""
 
 
+Q5_REGION = "ASIA"
+Q5_YEAR_LO = "1995-01-01"
+Q5_YEAR_HI = "1996-01-01"
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume (public spec): revenue per
+    nation where customer and supplier share the nation, one region,
+    one order year.  Plan shape is the graded one: region→nation→
+    supplier is a chain of broadcast dimension joins (all tiny);
+    lineitem⋈orders is the only big shuffle (both sides keyed on
+    orderkey); the customer join is broadcast too and the
+    c_nationkey = s_nationkey predicate rides the same join.
+    Revenue in exact 1e-4 fixed-point units."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.date_format("o_orderdate", "yyyy-MM-dd") >= Q5_YEAR_LO)
+        & (F.date_format("o_orderdate", "yyyy-MM-dd") < Q5_YEAR_HI)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (dim.s_nationkey == customer.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(ep_c * (100 - disc_c)).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "n_name")
+    )
+
+
+_TPCH_Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND strftime(o_orderdate, '%Y-%m-%d') >= '{Q5_YEAR_LO}'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '{Q5_YEAR_HI}'
+GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"""
+
+
+# Standard Q18 uses 300; the synthetic tables' per-order quantity
+# distribution is lighter than real TPC-H, so 250 keeps the HAVING
+# selective (~1% of orders) while returning a non-trivial result.
+Q18_QTY_THRESHOLD = 250
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers (public spec): orders whose
+    total quantity exceeds a threshold, joined back to the customer.
+    Plan: the HAVING aggregate runs FIRST on lineitem alone (map-side
+    combinable groupBy on orderkey — the 100-TB-safe order: filter to
+    the ~0.1% survivors before touching the joins), then survivors
+    join orders (shuffle on orderkey) and broadcast-join customer.
+    Quantity summed in exact integer cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("sum_qty_c"))
+        .where(F.col("sum_qty_c") > Q18_QTY_THRESHOLD * 100)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "o_totalprice_c"
+            ),
+            "sum_qty_c",
+        )
+        .orderBy(F.desc("o_totalprice_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_TPCH_Q18_SQL = f"""
+WITH big AS MATERIALIZED (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT))
+         > {Q18_QTY_THRESHOLD * 100}
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       sum_qty_c
+FROM big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 100"""
+
+
 _RELATIONAL_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q18": q_tpch_q18,
     "events_user_stats": q_events_user_stats,
     "events_top3_per_type": q_events_top3_per_type,
     "orders_cube": q_orders_cube,
@@ -3665,6 +3797,8 @@ _RELATIONAL_QUERIES = {
 _RELATIONAL_ORACLES = {
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
+    "tpch_q5": _TPCH_Q5_SQL,
+    "tpch_q18": _TPCH_Q18_SQL,
     "events_user_stats": """
 SELECT user_id, COUNT(*) AS n_events,
        ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / (COUNT(*) * 100.0), 6) AS avg_value,

@@ -157,6 +157,14 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_negative_samples",
                     "tpch_q1",
                     "tpch_q3",
+                    "tpch_q5",
+                    "tpch_q18",
+                    "lineitem_approx_percentiles",
+                    "docs_weighted_sample",
+                    "part_record_linkage",
+                    "graph_louvain",
+                    "events_temporal_graph",
+                    "stream_late_data",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle
