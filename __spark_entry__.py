@@ -2335,6 +2335,57 @@ def q_orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+APPROX_PCT_BIN_CENTS = 50_000  # $500-wide sketch bins
+
+
+def q_lineitem_approx_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binned-sketch percentiles on lineitem prices: bounded-state
+    approximate quantiles (error ≤ one $500 bin) — the scale path when
+    the exact distinct-value histogram is too wide.  Deterministic
+    (no sampling), so the oracle replays the sketch bit-for-bit."""
+    from motive_spark.datapipe import approx_percentiles_binned
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return approx_percentiles_binned(
+        li,
+        "l_returnflag",
+        "cents",
+        bin_width=APPROX_PCT_BIN_CENTS,
+        percentiles=[("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
+    ).orderBy("l_returnflag")
+
+
+def _approx_percentiles_sql(width: int = APPROX_PCT_BIN_CENTS) -> str:
+    return f"""
+WITH h AS (
+  SELECT l_returnflag AS g,
+         v - ((v % {width} + {width}) % {width}) AS edge, COUNT(*) AS c
+  FROM (SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, edge,
+         SUM(c) OVER (PARTITION BY g ORDER BY edge
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h
+)
+SELECT g AS l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN edge END) AS p50,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN edge END) AS p95,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN edge END) AS p99
+FROM cum GROUP BY g ORDER BY g"""
+
+
 BM25_QUERY = ["the", "model", "data", "with"]
 
 
@@ -3039,6 +3090,7 @@ _DATAPIPE_QUERIES = {
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
     "orders_percentiles": q_orders_percentiles,
+    "lineitem_approx_percentiles": q_lineitem_approx_percentiles,
 }
 
 
@@ -3315,6 +3367,7 @@ SELECT g AS o_orderpriority,
        MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS p50,
        MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS p95
 FROM cum GROUP BY g ORDER BY g""",
+    "lineitem_approx_percentiles": _approx_percentiles_sql(),
     "text_token_stats": """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,

@@ -329,3 +329,48 @@ def test_group_percentiles_match_numpy(spark, data):
             vs[max(0, math.ceil(num * n / den) - 1)] for _, num, den in pcts
         )
         assert got[g] == (n,) + want, (g, got[g], (n,) + want)
+
+
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_approx_percentiles_binned_property(spark, data):
+    """The binned sketch reports the lower edge of the bin holding the
+    exact rank-percentile: sketch value <= exact value < sketch value +
+    bin_width, and the sketch value is a bin lower edge (floored
+    multiple of the width) — including for negative values."""
+    from motive_spark.datapipe import approx_percentiles_binned
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(-500, 500)),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    width = data.draw(st.sampled_from([7, 50, 128]))
+    df = spark.createDataFrame(rows, "g long, v long")
+    pcts = [("p50", 1, 2), ("p95", 19, 20)]
+    got = {
+        r.g: (r.n_rows, r.p50, r.p95)
+        for r in approx_percentiles_binned(
+            df, "g", "v", bin_width=width, percentiles=pcts
+        ).collect()
+    }
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    for g, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        assert got[g][0] == n
+        for (name, num, den), sketch in zip(pcts, got[g][1:]):
+            exact = vs[max(0, math.ceil(num * n / den) - 1)]
+            # python % floors like the kernel's pmod-based edge
+            assert sketch % width == 0, (g, name, sketch, width)
+            assert sketch <= exact < sketch + width, (
+                g, name, sketch, exact, width,
+            )
