@@ -2458,6 +2458,53 @@ SELECT lang, doc_id, CAST(strat_rank AS INT) AS strat_rank
 FROM ranked WHERE strat_rank <= {SAMPLE_QUOTA} ORDER BY lang, strat_rank"""
 
 
+WSAMPLE_N = 64
+WSAMPLE_SEED = 7
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement: 64
+    docs drawn with probability proportional to length (n_chars) via
+    the md5-keyed A-ES draw — deterministic, so the oracle replays the
+    exact sample.  Length-weighted draws are the curation primitive
+    for token-budgeted corpus mixes (sampling documents ∝ tokens
+    contributed, not uniformly)."""
+    from motive_spark.datapipe import weighted_sample_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        weighted_sample_topn(
+            docs,
+            n=WSAMPLE_N,
+            weight_col="n_chars",
+            key_cols=["doc_id"],
+            seed=WSAMPLE_SEED,
+        )
+        .select("doc_id", "lang", "n_chars", "aes_rank")
+        .orderBy("aes_rank")
+    )
+
+
+def _weighted_sample_sql(n: int = WSAMPLE_N, seed: int = WSAMPLE_SEED) -> str:
+    return f"""
+WITH keyed AS MATERIALIZED (
+  SELECT doc_id, lang, n_chars,
+         ROUND(ln((('0x' || substr(md5(doc_id || '|{seed}'), 1, 8))::BIGINT
+                   + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 9) AS k
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY k DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS aes_rank
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
+FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 _LN2 = 0.6931471805599453  # repr(math.log(2.0)) — embedded in BOTH engines
@@ -3089,6 +3136,7 @@ _DATAPIPE_QUERIES = {
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "orders_percentiles": q_orders_percentiles,
     "lineitem_approx_percentiles": q_lineitem_approx_percentiles,
 }
@@ -3346,6 +3394,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "text_contamination": _contamination_sql(),
     "text_redact_pii": _redact_pii_sql(),
     "docs_stratified_sample": _stratified_sample_sql(),
+    "docs_weighted_sample": _weighted_sample_sql(),
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout
     "orders_percentiles": """

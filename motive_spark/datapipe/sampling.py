@@ -93,3 +93,54 @@ def stratified_topn(
         df.withColumn(rank_col, F.row_number().over(win))
         .where(F.col(rank_col) <= n)
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 0,
+    rank_col: str = "aes_rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES scheme: each row draws u ~ Uniform(0,1] from its md5
+    hash and is ranked by ``u^(1/w)`` — the top-``n`` such rows are an
+    exact weighted sample without replacement (rows with weight 2w are
+    selected with twice the odds of weight w at every step).
+
+    We rank by the monotone-equivalent ``ln(u)/w`` (descending), which
+    avoids the pow and keeps magnitudes sane.  The draw is a pure
+    function of (key_cols, seed) so backfills and the cross-engine
+    oracle replay the sample row-for-row.  ``u = (h+1)/2^32`` with h
+    the first-8-hex md5 integer: both the ratio (power-of-two divisor)
+    and the division by the integer weight are exactly rounded IEEE
+    ops, so the only engine-sensitive op is ``ln`` — rounded to 9 dp
+    before ranking (near-ties become exact ties, broken by the key
+    string).
+
+    Plan: a column-expression key + global top-n (TakeOrdered — no
+    single-partition sort); the rank is stamped by a window over the
+    ``n`` survivors only.  Rows with weight <= 0 are excluded (zero
+    weight = never sampled, per A-ES).
+    """
+    if not key_cols:
+        raise ValueError("weighted_sample_topn: key_cols must be non-empty")
+    if n <= 0:
+        raise ValueError("weighted_sample_topn: n must be positive")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    h = _hash32(key, seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_SCALE))
+    aes = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    top = (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("_aes_key", aes)
+        .withColumn("_aes_tie", key)
+        .orderBy(F.desc("_aes_key"), F.asc("_aes_tie"))
+        .limit(n)
+    )
+    win = Window.orderBy(F.desc("_aes_key"), F.asc("_aes_tie"))
+    return (
+        top.withColumn(rank_col, F.row_number().over(win))
+        .drop("_aes_key", "_aes_tie")
+    )

@@ -741,3 +741,38 @@ def test_multi_signal_dedup_cross_signal_chain(spark):
     assert set(out) == {1, 2, 3}
     assert {out[i].cluster for i in (1, 2, 3)} == {1}
     assert out[1].is_keeper and out[1].cluster_size == 3
+
+
+def test_weighted_sample_topn_replay_and_bias(spark):
+    """A-ES weighted sample: (1) bit-for-bit replay of a pure-python
+    A-ES over the same md5 draws; (2) weight-proportional inclusion —
+    a 50x-weight item appears in essentially every small sample."""
+    import hashlib
+    import math
+
+    from motive_spark.datapipe import weighted_sample_topn
+
+    rows = [(f"k{i:03d}", 50 if i % 20 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, w long")
+    got = weighted_sample_topn(
+        df, n=10, weight_col="w", key_cols=["id"], seed=3
+    ).collect()
+    # pure-python replay of the exact same draw
+    def aes_key(k, w, seed=3):
+        h = int(hashlib.md5(f"{k}|{seed}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 4294967296.0) / w, 9)
+
+    want = sorted(rows, key=lambda r: (-aes_key(r[0], r[1]), r[0]))[:10]
+    assert [(r.id, r.w) for r in sorted(got, key=lambda r: r.aes_rank)] == want
+    # heavy items (10 of 200 ids carry 50/240ths of the weight each)
+    # dominate the sample
+    heavy = sum(1 for r in got if r.w == 50)
+    assert heavy >= 5, heavy  # uniform expectation would be 0.5
+    # zero/negative weights are never sampled
+    df2 = spark.createDataFrame(
+        [("a", 0), ("b", -5), ("c", 1)], "id string, w long"
+    )
+    got2 = weighted_sample_topn(
+        df2, n=3, weight_col="w", key_cols=["id"]
+    ).collect()
+    assert [r.id for r in got2] == ["c"]
