@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 PR_ITERS = 10
@@ -2458,6 +2458,82 @@ SELECT lang, doc_id, CAST(strat_rank AS INT) AS strat_rank
 FROM ranked WHERE strat_rank <= {SAMPLE_QUOTA} ORDER BY lang, strat_rank"""
 
 
+LINKAGE_MAX_DIST = 2
+LINKAGE_TOP = 200
+LINKAGE_MAX_BLOCK = 5000
+
+
+def q_part_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidates over part names: block on (last name
+    token, length//4 bucket), compare within blocks by levenshtein,
+    keep fuzzy (distance 1-2) pairs — the blocking bounds the
+    comparison space to Σ block², the df-style cap drops power blocks.
+    Top-200 by (distance, keys) via TakeOrdered; rank stamped over the
+    survivors only."""
+    from motive_spark.datapipe import blocked_link_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    pairs = blocked_link_pairs(
+        part,
+        key_col="p_partkey",
+        name_col="p_name",
+        block_exprs=[
+            F.element_at(F.split(F.col("p_name"), " "), -1),
+            (F.length("p_name") / 4).cast("long"),
+        ],
+        max_distance=LINKAGE_MAX_DIST,
+        min_distance=1,
+        max_block_size=LINKAGE_MAX_BLOCK,
+        carry_cols=["p_brand"],
+    )
+    top = (
+        pairs.select(
+            "a_p_partkey",
+            "b_p_partkey",
+            "a_p_name",
+            "b_p_name",
+            "distance",
+            (F.col("a_p_brand") == F.col("b_p_brand")).alias("same_brand"),
+        )
+        .orderBy("distance", "a_p_partkey", "b_p_partkey")
+        .limit(LINKAGE_TOP)
+    )
+    win = Window.orderBy("distance", "a_p_partkey", "b_p_partkey")
+    return top.withColumn("rank", F.row_number().over(win))
+
+
+_LINKAGE_SQL = f"""
+WITH p AS MATERIALIZED (
+  SELECT p_partkey, p_name, p_brand,
+         string_split(p_name, ' ')[-1] || chr(31)
+           || CAST(length(p_name) // 4 AS VARCHAR) AS blk
+  FROM part
+),
+sized AS (
+  SELECT p.* FROM p
+  JOIN (SELECT blk, COUNT(*) AS bc FROM p GROUP BY 1
+        HAVING COUNT(*) <= {LINKAGE_MAX_BLOCK}) s USING (blk)
+),
+pairs AS (
+  SELECT a.p_partkey AS a_p_partkey, b.p_partkey AS b_p_partkey,
+         a.p_name AS a_p_name, b.p_name AS b_p_name,
+         levenshtein(a.p_name, b.p_name) AS distance,
+         (a.p_brand = b.p_brand) AS same_brand
+  FROM sized a JOIN sized b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {LINKAGE_MAX_DIST}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY distance, a_p_partkey, b_p_partkey) AS rank
+  FROM pairs
+)
+SELECT a_p_partkey, b_p_partkey, a_p_name, b_p_name,
+       CAST(distance AS INT) AS distance, same_brand,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {LINKAGE_TOP} ORDER BY rank"""
+
+
 WSAMPLE_N = 64
 WSAMPLE_SEED = 7
 
@@ -3137,6 +3213,7 @@ _DATAPIPE_QUERIES = {
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "part_record_linkage": q_part_record_linkage,
     "orders_percentiles": q_orders_percentiles,
     "lineitem_approx_percentiles": q_lineitem_approx_percentiles,
 }
@@ -3395,6 +3472,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "text_redact_pii": _redact_pii_sql(),
     "docs_stratified_sample": _stratified_sample_sql(),
     "docs_weighted_sample": _weighted_sample_sql(),
+    "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout
     "orders_percentiles": """

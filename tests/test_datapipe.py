@@ -776,3 +776,40 @@ def test_weighted_sample_topn_replay_and_bias(spark):
         df2, n=3, weight_col="w", key_cols=["id"]
     ).collect()
     assert [r.id for r in got2] == ["c"]
+
+
+def test_blocked_link_pairs_semantics(spark):
+    """Blocking bounds the comparison space: cross-block pairs are
+    never compared even when their names are identical; within-block
+    pairs respect the distance band; oversized blocks are dropped."""
+    from motive_spark.datapipe import blocked_link_pairs
+
+    rows = [
+        (1, "red bolt", "b1"),
+        (2, "ted bolt", "b1"),   # dist 1 from red bolt, same block
+        (3, "red gear", "b2"),   # other block, never compared to 1/2
+        (4, "red bolt", "b2"),   # identical name -> distance 0
+        (5, "junk", "b3"), (6, "junk", "b3"), (7, "junk", "b3"),
+    ]
+    df = spark.createDataFrame(rows, "k long, name string, brand string")
+    from pyspark.sql import functions as SF
+
+    blk = [SF.element_at(SF.split(SF.col("name"), " "), -1)]
+    got = blocked_link_pairs(
+        df, "k", "name", blk, max_distance=2, min_distance=0,
+        carry_cols=["brand"],
+    ).collect()
+    pairs = {(r.a_k, r.b_k): r.distance for r in got}
+    assert pairs[(1, 2)] == 1 and pairs[(1, 4)] == 0 and pairs[(2, 4)] == 1
+    assert (1, 3) not in pairs and (5, 6) in pairs
+    # min_distance band excludes exact duplicates
+    fuzzy = blocked_link_pairs(
+        df, "k", "name", blk, max_distance=2, min_distance=1
+    ).collect()
+    assert all(r.distance >= 1 for r in fuzzy)
+    assert {(r.a_k, r.b_k) for r in fuzzy} == {(1, 2), (2, 4)}
+    # block-size cap drops the junk block entirely
+    capped = blocked_link_pairs(
+        df, "k", "name", blk, max_distance=2, max_block_size=2
+    ).collect()
+    assert all(r.a_k not in (5, 6, 7) for r in capped)
