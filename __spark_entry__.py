@@ -1372,6 +1372,68 @@ def q_labelprop_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+LOUVAIN_ROUNDS = 3
+
+
+def q_graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain local-move refinement (3 rounds, integer
+    2m²-scaled gains, smallest-community tie-break) on the co-purchase
+    graph — deterministic, so the oracle unrolls the identical rounds."""
+    from motive_spark.kernels import louvain_refine
+
+    return louvain_refine(_und(spark, sf_dir), rounds=LOUVAIN_ROUNDS).orderBy(
+        "id"
+    )
+
+
+def _louvain_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    parts = [
+        "WITH " + SQL_GRAPH + ",",
+        "k AS MATERIALIZED (SELECT src AS id, COUNT(*) AS k FROM sym "
+        "GROUP BY 1),",
+        "m2 AS (SELECT COUNT(*) AS m2 FROM sym),",
+        "c0 AS MATERIALIZED (SELECT id, id AS comm FROM verts)",
+    ]
+    for t in range(1, rounds + 1):
+        p = f"c{t - 1}"
+        parts.append(
+            f""",kt{t} AS MATERIALIZED (
+  SELECT c.comm, CAST(SUM(k.k) AS BIGINT) AS ktot
+  FROM {p} c JOIN k USING (id) GROUP BY 1
+),
+cand{t} AS (
+  SELECT id, cand, CAST(SUM(kic) AS BIGINT) AS kic FROM (
+    SELECT e.src AS id, c.comm AS cand, COUNT(*) AS kic
+    FROM sym e JOIN {p} c ON e.dst = c.id GROUP BY 1, 2
+    UNION ALL SELECT id, comm AS cand, 0 AS kic FROM {p}
+  ) GROUP BY 1, 2
+),
+sc{t} AS (
+  SELECT a.id, a.cand,
+         m2.m2 * a.kic
+           - k.k * (kt.ktot
+                    - CASE WHEN own.comm = a.cand THEN k.k ELSE 0 END)
+           AS gain
+  FROM cand{t} a
+  JOIN k ON k.id = a.id
+  JOIN {p} own ON own.id = a.id
+  JOIN kt{t} kt ON kt.comm = a.cand
+  CROSS JOIN m2
+),
+c{t} AS MATERIALIZED (
+  SELECT id, cand AS comm FROM (
+    SELECT id, cand, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn
+    FROM sc{t}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT id, comm AS community FROM c{rounds} ORDER BY id"
+    )
+    return "".join(parts)
+
+
 def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import triangle_count
 
@@ -1417,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": q_graph_random_walks,
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "graph_modularity": q_graph_modularity,
+        "graph_louvain": q_graph_louvain,
         "graph_coloring": q_graph_coloring,
         "graph_betweenness": q_graph_betweenness,
         "graph_hyperball": q_graph_hyperball,
@@ -1528,6 +1591,7 @@ s0 AS (
         ),
         "graph_node2vec_walks": _node2vec_sql(),
         "graph_modularity": _modularity_sql(),
+        "graph_louvain": _louvain_sql(),
         "graph_coloring": _coloring_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_hyperball": _hyperball_sql(),

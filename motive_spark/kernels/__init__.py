@@ -6,6 +6,7 @@ from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.msf import boruvka_msf
+from motive_spark.kernels.louvain import louvain_refine
 from motive_spark.kernels.labelprop import (
     label_propagation,
     seeded_label_propagation,
@@ -40,6 +41,7 @@ __all__ = [
     "delta_stepping",
     "harmonic_centrality",
     "label_propagation",
+    "louvain_refine",
     "seeded_label_propagation",
     "triangle_count",
     "triangles_per_vertex",

@@ -1,0 +1,133 @@
+"""Louvain-style community refinement: synchronous modularity-gain
+moves, integer-exact.
+
+One Louvain "local move" phase (Blondel et al. 2008, public method)
+re-expressed for a synchronous distributed engine: every vertex
+simultaneously evaluates, against the PREVIOUS round's assignment, the
+modularity gain of joining each neighbor community (or re-entering its
+own) and adopts the argmax.  Sequential Louvain applies moves one
+vertex at a time — unreproducible under distribution — so, like our
+label propagation, the kernel is defined as a fixed number of
+synchronous rounds: deterministic, order-free, and replayable in ANSI
+SQL for the oracle.
+
+The gain of inserting vertex i (removed from its community) into
+community C is the standard
+
+    ΔQ = k_iC / m − k_i · Σtot^{-i}(C) / (2 m²)
+
+Multiplying by the positive constant 2m² makes every comparison EXACT
+INTEGER arithmetic (no float drift between engines):
+
+    gain2m2(i→C) = 2m·k_iC − k_i·(ktot(C) − k_i·[comm(i)=C])
+
+where k_iC = #edges from i into C, k_i = degree, ktot(C) = Σ degrees
+of C's members, and the bracket removes i itself when scoring its own
+community.  Ties break to the smallest community id.  BIGINT holds
+k_i·ktot up to ~2^63; beyond ~10^9 edges swap the gain expression to
+decimal(38,0) / HUGEINT — the comparisons stay exact.
+
+Per-round plan (the north-rule gather-scatter shape): the |V|-row
+assignment joins the stationary cached edge table (shuffle-hash — the
+edge side never moves), one groupBy (i, C) for k_iC, one groupBy C for
+ktot, one struct-max argmax per vertex; lineage truncated every round.
+
+Reference parity: motive has no community detection — this extends the
+engine along the same axis as label_propagation (SURVEY §2 J-new).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def louvain_refine(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Returns (id, community) after exactly ``rounds`` synchronous
+    gain-max rounds from the singleton partition.  ``edges`` is
+    treated as undirected; self-loops dropped, multi-edges deduped."""
+    if rounds < 1:
+        raise ValueError("louvain_refine: rounds must be >= 1")
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition(npart, "dst")
+        .cache()
+    )
+    m2 = sym.count()  # = 2m: every undirected edge counted both ways
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .cache()
+    )
+
+    comm = deg.select("id", F.col("id").alias("comm"))
+    for _ in range(rounds):
+        ktot = (
+            comm.join(deg, "id")
+            .groupBy("comm")
+            .agg(F.sum("k").alias("ktot"))
+        )
+        # k_iC: edges from i into each previous-round community
+        nbr = (
+            sym.join(
+                comm.hint("shuffle_hash").select(
+                    F.col("id").alias("_nid"), F.col("comm").alias("cand")
+                ),
+                sym.dst == F.col("_nid"),
+            )
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.count(F.lit(1)).alias("kic"))
+        )
+        # own community is always a candidate (kic 0 row merges by sum)
+        cand = nbr.unionByName(
+            comm.select(
+                "id", F.col("comm").alias("cand"), F.lit(0).alias("kic")
+            )
+        )
+        scored = (
+            cand.groupBy("id", "cand")
+            .agg(F.sum("kic").alias("kic"))
+            .join(deg, "id")
+            .join(comm.select("id", F.col("comm").alias("own")), "id")
+            .join(
+                ktot.select(F.col("comm").alias("cand"), "ktot"), "cand"
+            )
+            .select(
+                "id",
+                "cand",
+                (
+                    F.lit(m2) * F.col("kic")
+                    - F.col("k")
+                    * (
+                        F.col("ktot")
+                        - F.when(
+                            F.col("own") == F.col("cand"), F.col("k")
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias("gain"),
+            )
+        )
+        comm = (
+            scored.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"), (-F.col("cand")).alias("neg")
+                    )
+                ).alias("top")
+            )
+            .select("id", (-F.col("top.neg")).alias("comm"))
+            .repartition(npart, "id")
+            .localCheckpoint()  # truncate lineage every round
+        )
+    sym.unpersist()
+    deg.unpersist()
+    return comm.select("id", F.col("comm").alias("community"))

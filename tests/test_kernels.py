@@ -1453,3 +1453,62 @@ def test_negative_samples(spark):
     assert max(per_src.values()) <= 3
     out2 = negative_samples(edges.repartition(5), k=3, seed=23).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def py_louvain_sync(pairs, rounds):
+    """Pure-python oracle for the synchronous integer-gain Louvain."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    nbrs = {i: [b for a, b in sym if a == i] for i in nodes}
+    k = {i: len(nbrs[i]) for i in nodes}
+    m2 = len(sym)
+    comm = {i: i for i in nodes}
+    for _ in range(rounds):
+        ktot: dict = {}
+        for i in nodes:
+            ktot[comm[i]] = ktot.get(comm[i], 0) + k[i]
+        new = {}
+        for i in nodes:
+            kic: dict = {comm[i]: 0}
+            for j in nbrs[i]:
+                kic[comm[j]] = kic.get(comm[j], 0) + 1
+            best = None
+            for c, cnt in kic.items():
+                gain = m2 * cnt - k[i] * (
+                    ktot[c] - (k[i] if comm[i] == c else 0)
+                )
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[i] = best[1]
+        comm = new
+    return comm
+
+
+def test_louvain_refine_matches_python_oracle(spark):
+    from motive_spark.kernels import louvain_refine
+
+    # two 4-cliques bridged by a single edge + a pendant
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = cl1 + cl2 + [(3, 10), (13, 20)]
+    for rounds in (1, 3):
+        got = {
+            r.id: r.community
+            for r in louvain_refine(edges_df(spark, pairs), rounds=rounds).collect()
+        }
+        want = py_louvain_sync(pairs, rounds)
+        assert got == want, (rounds, got, want)
+    # after 3 rounds the two cliques are separate non-singleton
+    # communities
+    got3 = {
+        r.id: r.community
+        for r in louvain_refine(edges_df(spark, pairs), rounds=3).collect()
+    }
+    c1 = {got3[i] for i in range(4)}
+    c2 = {got3[i] for i in range(10, 14)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
