@@ -3238,8 +3238,88 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TGRAPH_ITEM_CAP = 40
+
+
+def q_events_temporal_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal link graph: the per-DAY user↔item interaction graph
+    (item = JSON prop k) with per-window structural metrics plus the
+    item-degree-capped co-interaction projection edge count — the
+    window start is an ordinary partition column, so a year of
+    snapshots fans out with no per-window loop."""
+    from motive_spark.graph import (
+        windowed_copair_count,
+        windowed_edges,
+        windowed_graph_metrics,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wedges = windowed_edges(
+        ev,
+        "ts",
+        F.col("user_id").cast("long"),
+        F.get_json_object("props", "$.k").cast("long"),
+        "1 day",
+    )
+    metrics = windowed_graph_metrics(wedges)
+    copairs = windowed_copair_count(wedges, item_cap=TGRAPH_ITEM_CAP)
+    return (
+        metrics.join(copairs, "win_start", "left")
+        .select(
+            "win_start",
+            "n_edges",
+            F.col("n_src").alias("n_users"),
+            F.col("n_dst").alias("n_items"),
+            F.col("max_src_deg").alias("max_user_deg"),
+            F.coalesce("n_copairs", F.lit(0)).alias("n_copairs"),
+        )
+        .orderBy("win_start")
+    )
+
+
+_TEMPORAL_GRAPH_SQL = f"""
+WITH we AS MATERIALIZED (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start,
+         CAST(user_id AS BIGINT) AS src,
+         CAST(props->>'$.k' AS BIGINT) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND (props->>'$.k') IS NOT NULL
+),
+deg AS (SELECT win_start, src, COUNT(*) AS d FROM we GROUP BY 1, 2),
+base AS (
+  SELECT win_start, COUNT(*) AS n_edges,
+         COUNT(DISTINCT src) AS n_users, COUNT(DISTINCT dst) AS n_items
+  FROM we GROUP BY 1
+),
+mx AS (SELECT win_start, MAX(d) AS max_user_deg FROM deg GROUP BY 1),
+kept AS MATERIALIZED (
+  SELECT we.* FROM we
+  JOIN (SELECT win_start, dst, COUNT(*) AS ic FROM we GROUP BY 1, 2
+        HAVING COUNT(*) <= {TGRAPH_ITEM_CAP}) s
+    USING (win_start, dst)
+),
+cop AS (
+  SELECT win_start, COUNT(*) AS n_copairs FROM (
+    SELECT DISTINCT a.win_start, a.src AS u1, b.src AS u2
+    FROM kept a JOIN kept b
+      ON a.win_start = b.win_start AND a.dst = b.dst AND a.src < b.src
+  ) GROUP BY 1
+)
+SELECT base.win_start,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_items AS BIGINT) AS n_items,
+       CAST(max_user_deg AS BIGINT) AS max_user_deg,
+       CAST(COALESCE(cop.n_copairs, 0) AS BIGINT) AS n_copairs
+FROM base
+JOIN mx USING (win_start)
+LEFT JOIN cop USING (win_start)
+ORDER BY win_start"""
+
+
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "events_temporal_graph": q_events_temporal_graph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_multi_signal": q_dedup_multi_signal,
@@ -3522,6 +3602,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1""",
+    "events_temporal_graph": _TEMPORAL_GRAPH_SQL,
     "events_props_json": """
 SELECT CAST(props->>'$.k' AS BIGINT) AS k,
        COUNT(*) AS n_events,

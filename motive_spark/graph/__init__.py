@@ -3,6 +3,11 @@ from motive_spark.graph.features import (
     neighbor_feature_agg,
 )
 from motive_spark.graph.gml import read_gml, write_gml
+from motive_spark.graph.temporal import (
+    windowed_copair_count,
+    windowed_edges,
+    windowed_graph_metrics,
+)
 from motive_spark.graph.metrics import (
     degree_assortativity,
     k_hop_neighborhood,
@@ -22,6 +27,9 @@ from motive_spark.graph.normalize import (
 )
 
 __all__ = [
+    "windowed_edges",
+    "windowed_graph_metrics",
+    "windowed_copair_count",
     "normalize_ids",
     "simplify",
     "degrees",

@@ -1512,3 +1512,40 @@ def test_louvain_refine_matches_python_oracle(spark):
     c1 = {got3[i] for i in range(4)}
     c2 = {got3[i] for i in range(10, 14)}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_windowed_graph_semantics(spark):
+    """Windowed edges dedupe within a window but not across; the
+    copair projection respects the item cap."""
+    from motive_spark.graph import (
+        windowed_copair_count,
+        windowed_edges,
+        windowed_graph_metrics,
+    )
+
+    rows = [
+        ("2024-01-01 01:00:00", 1, 10),
+        ("2024-01-01 02:00:00", 1, 10),  # same day dup edge
+        ("2024-01-01 03:00:00", 2, 10),  # copair (1,2) via item 10
+        ("2024-01-01 04:00:00", 3, 99),
+        ("2024-01-02 01:00:00", 1, 10),  # new day, new snapshot
+    ]
+    ev = spark.createDataFrame(rows, "ts string, u long, i long").select(
+        F.to_timestamp("ts").alias("ts"), "u", "i"
+    )
+    we = windowed_edges(ev, "ts", F.col("u"), F.col("i"), "1 day")
+    got = {(r.win_start, r.src, r.dst) for r in we.collect()}
+    assert got == {
+        ("2024-01-01", 1, 10),
+        ("2024-01-01", 2, 10),
+        ("2024-01-01", 3, 99),
+        ("2024-01-02", 1, 10),
+    }
+    m = {r.win_start: r for r in windowed_graph_metrics(we).collect()}
+    assert m["2024-01-01"].n_edges == 3 and m["2024-01-01"].n_src == 3
+    assert m["2024-01-02"].n_edges == 1
+    cp = {r.win_start: r.n_copairs for r in windowed_copair_count(we).collect()}
+    assert cp == {"2024-01-01": 1}
+    # cap=1 excludes item 10 (degree 2) -> no copairs anywhere
+    cp1 = windowed_copair_count(we, item_cap=1).collect()
+    assert cp1 == []
