@@ -2354,6 +2354,55 @@ s AS (
 SELECT doc_id, {expr_best} AS pred_lang FROM s ORDER BY doc_id"""
 
 
+LATE_SPLIT_DATE = "2024-01-11"
+LATE_DELAY = "72 hours"
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data contract: append-mode windowed counts over a
+    deterministic 3-batch drain (on-time early / on-time late / odd-id
+    backfill).  Old windows show on-time-only counts (backfill rows
+    dropped — their windows were already evicted), middle windows show
+    merged counts, and the sub-watermark tail is withheld; the oracle
+    replays the measured semantics in closed form."""
+    from motive_spark.streaming import stream_late_data_windowed_counts
+
+    return stream_late_data_windowed_counts(
+        spark,
+        f"{sf_dir}/events.parquet",
+        split_date=LATE_SPLIT_DATE,
+        window="1 day",
+        delay=LATE_DELAY,
+    ).orderBy("window_start")
+
+
+_STREAM_LATE_SQL = f"""
+WITH b0max AS (
+  SELECT MAX(ts) AS mx FROM events
+  WHERE event_id % 2 = 0 AND strftime(ts, '%Y-%m-%d') < '{LATE_SPLIT_DATE}'
+),
+gmax AS (SELECT MAX(ts) AS mx FROM events),
+counted AS (
+  SELECT ts, value FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT e.ts, e.value FROM events e, b0max
+  WHERE e.event_id % 2 = 1
+    AND date_trunc('day', e.ts) + INTERVAL 1 DAY
+        > b0max.mx - INTERVAL 72 HOURS
+),
+aggd AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS wend,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM counted GROUP BY 1, 2
+)
+SELECT window_start, n_events, sum_value_cents
+FROM aggd, gmax WHERE wend <= gmax.mx - INTERVAL 72 HOURS
+ORDER BY window_start"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming prefix-fingerprint dedup groups: readStream
     over documents.parquet, stateful complete-mode aggregation drained
@@ -3339,6 +3388,7 @@ _DATAPIPE_QUERIES = {
     "motif_k3_er_factors": q_motif_k3_er_factors,
     "motif_planted_factors": q_motif_planted_factors,
     "stream_dedup": q_stream_dedup,
+    "stream_late_data": q_stream_late_data,
     "stream_enrich": q_stream_enrich,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
@@ -3534,6 +3584,7 @@ GROUP BY p.doc_id, p.n ORDER BY p.doc_id""",
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
     # streaming drain == batch GROUP BY: same key, same aggregates
+    "stream_late_data": _STREAM_LATE_SQL,
     "stream_dedup": """
 SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_key,
        COUNT(*) AS n_docs,

@@ -1,6 +1,7 @@
 from motive_spark.streaming.ingest import (
     running_degrees_stream,
     stream_dedup_docs,
+    stream_late_data_windowed_counts,
     stream_prefix_dedup_groups,
     stream_static_enriched_counts,
     stream_windowed_event_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "windowed_edge_counts",
     "running_degrees_stream",
     "stream_dedup_docs",
+    "stream_late_data_windowed_counts",
     "stream_prefix_dedup_groups",
     "stream_static_enriched_counts",
     "stream_windowed_event_counts",

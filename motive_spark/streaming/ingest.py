@@ -330,3 +330,105 @@ def stream_dedup_docs(
     return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
         ["text_md5"]
     )
+
+
+def stream_late_data_windowed_counts(
+    spark: SparkSession,
+    events_path: str,
+    split_date: str,
+    window: str = "1 day",
+    delay: str = "72 hours",
+) -> DataFrame:
+    """Watermark LATE-DATA semantics, made deterministic and
+    oracle-replayable: an append-mode windowed aggregation drained
+    through three ordered micro-batches —
+
+      batch 0: on-time events before ``split_date`` (even event_id),
+      batch 1: on-time events from ``split_date`` on (even event_id),
+      batch 2: a late BACKFILL (all odd-event_id events, any age).
+
+    The file source is pinned to one file per trigger with ascending
+    mtimes, so the batch sequence — and therefore every watermark
+    update — is a pure function of the input.  Measured Spark
+    semantics (pinned by test_streaming's hand fixture):
+
+      * a late row whose window is STILL IN STATE merges into it, even
+        when the row's event time is far behind the watermark;
+      * a row whose window was already evicted is DROPPED — for the
+        backfill batch that means windows ending at or before
+        ``max ts(batch 0) − delay``;
+      * append mode finally emits exactly the windows ending at or
+        before ``max ts(all) − delay`` (inclusive); newer windows stay
+        in state, withheld.
+
+    So the result shows all three regimes side by side: old windows
+    with on-time-only counts (backfill dropped), middle windows with
+    merged counts, and the withheld tail absent.  Returns
+    (window_start, n_events, sum_value_cents), exactly-once via
+    foreachBatch parquet appends of finalized windows.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = spark.read.parquet(events_path)
+    even = F.pmod(F.col("event_id"), F.lit(2)) == 0
+    before = F.date_format("ts", "yyyy-MM-dd") < split_date
+    batches = [
+        ev.where(even & before),
+        ev.where(even & ~before),
+        ev.where(~even),
+    ]
+    src = tempfile.mkdtemp(prefix="late_src_", dir=_drain_root())
+    for i, b in enumerate(batches):
+        d = tempfile.mkdtemp(prefix="late_w_", dir=_drain_root())
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermarks require TIMESTAMP (not NTZ); the session tz is pinned
+    # to UTC (session.py), so the cast preserves the wall-clock value
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_start"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="late_out_", dir=_drain_root())
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_", dir=_drain_root())
+    spark.createDataFrame([], agg.schema).write.mode("overwrite").parquet(
+        out_dir
+    )
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        # append mode: each epoch carries only newly-FINALIZED windows
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(out_dir)

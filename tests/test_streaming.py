@@ -353,3 +353,47 @@ def test_drain_empty_source_returns_empty_frame(spark, tmp_path):
     }
     root = _drain_root()
     assert os.path.isdir(root) and len(os.listdir(root)) > 0
+
+
+def test_stream_late_data_three_regimes(spark, tmp_path):
+    """Pins the measured watermark semantics the late-data contract
+    relies on: (1) backfill rows for already-evicted windows are
+    dropped; (2) backfill rows for still-live windows merge; (3) the
+    sub-watermark tail is withheld."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.streaming import stream_late_data_windowed_counts
+
+    rows = [
+        # (event_id, ts, value): even = on-time, odd = backfill
+        (0, "2024-01-01 12:00:00", 1.0),
+        (2, "2024-01-05 12:00:00", 1.0),   # batch0 max -> wm0 = Jan 2 12:00
+        (4, "2024-01-20 12:00:00", 1.0),   # batch1 (>= split): wm -> Jan 17 12:00
+        (1, "2024-01-01 13:00:00", 1.0),   # backfill, window end Jan2 <= wm0 -> DROPPED
+        (3, "2024-01-05 13:00:00", 1.0),   # backfill, window end Jan6 > wm0 -> MERGED
+        (5, "2024-01-20 13:00:00", 1.0),   # backfill into withheld tail
+    ]
+    src = str(tmp_path / "ev.parquet")
+    (
+        spark.createDataFrame(rows, "event_id long, ts string, value double")
+        .select(
+            "event_id",
+            F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    out = {
+        r.window_start: r.n_events
+        for r in stream_late_data_windowed_counts(
+            spark, src, split_date="2024-01-10", window="1 day",
+            delay="72 hours",
+        ).collect()
+    }
+    # final watermark = Jan 20 13:00 - 72h = Jan 17 13:00 -> emitted
+    # windows end <= that: Jan 1 .. Jan 16 windows
+    assert out == {
+        "2024-01-01": 1,   # backfill row dropped (window evicted at wm0)
+        "2024-01-05": 2,   # backfill row merged (window still live)
+    }
