@@ -2694,6 +2694,68 @@ SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
 FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 32
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: top-32 exact tokens annotated
+    with the 4×1024 CMS estimate and overestimate — the sketch audit
+    (estimate ≥ exact always); md5 row hashes make the sketch
+    cell-identical cross-engine."""
+    from motive_spark.datapipe import heavy_hitters_cms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters_cms(
+        docs, top_k=CMS_TOP_K, depth=CMS_DEPTH, width=CMS_WIDTH
+    ).orderBy("rank")
+
+
+def _heavy_hitters_sql(
+    top_k: int = CMS_TOP_K, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    probe_rows = " UNION ALL ".join(
+        f"SELECT token, {j} AS row_idx, "
+        f"(('0x' || substr(md5(token || '|{j}'), 1, 8))::BIGINT) % {width}"
+        f" AS bucket FROM top"
+        for j in range(depth)
+    )
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS row_idx, "
+        f"(('0x' || substr(md5(token || '|{j}'), 1, 8))::BIGINT) % {width}"
+        f" AS bucket, cnt FROM counts"
+        for j in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1
+),
+cms AS MATERIALIZED (
+  SELECT row_idx, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+  FROM ({cell_rows}) GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM counts ORDER BY cnt DESC, token ASC LIMIT {top_k}
+),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.token,
+         CAST(MIN(COALESCE(c.cell, 0)) AS BIGINT) AS cms_estimate
+  FROM probes p LEFT JOIN cms c USING (row_idx, bucket)
+  GROUP BY 1
+)
+SELECT t.token, CAST(t.cnt AS BIGINT) AS exact_count, e.cms_estimate,
+       CAST(e.cms_estimate - t.cnt AS BIGINT) AS overestimate,
+       CAST(t.rank AS INT) AS rank
+FROM top t JOIN est e USING (token) ORDER BY rank"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 _LN2 = 0.6931471805599453  # repr(math.log(2.0)) — embedded in BOTH engines
@@ -3403,6 +3465,7 @@ _DATAPIPE_QUERIES = {
     "text_bm25": q_text_bm25,
     "text_tfidf_similar": q_text_tfidf_similar,
     "text_collocations": q_text_collocations,
+    "text_heavy_hitters": q_text_heavy_hitters,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3668,6 +3731,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "text_redact_pii": _redact_pii_sql(),
     "docs_stratified_sample": _stratified_sample_sql(),
     "docs_weighted_sample": _weighted_sample_sql(),
+    "text_heavy_hitters": _heavy_hitters_sql(),
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

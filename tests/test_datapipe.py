@@ -813,3 +813,47 @@ def test_blocked_link_pairs_semantics(spark):
         df, "k", "name", blk, max_distance=2, max_block_size=2
     ).collect()
     assert all(r.a_k not in (5, 6, 7) for r in capped)
+
+
+def test_countmin_sketch_guarantee(spark):
+    """CMS one-sided error: estimate >= exact for EVERY token, exact
+    for tokens with no collisions; sketch size bounded by depth*width."""
+    from motive_spark.datapipe import (
+        countmin_estimate,
+        countmin_sketch,
+        heavy_hitters_cms,
+    )
+
+    rows = [(f"t{i % 7}",) for i in range(100)] + [("rare",)]
+    counts = (
+        spark.createDataFrame(rows, "token string")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cms = countmin_sketch(counts, depth=3, width=8)
+    assert cms.count() <= 3 * 8
+    est = {
+        r.token: r.cms_estimate
+        for r in countmin_estimate(
+            cms, counts.select("token"), depth=3, width=8
+        ).collect()
+    }
+    exact = {r.token: r.cnt for r in counts.collect()}
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+    # wide sketch -> no collisions among 8 tokens: exact recovery
+    cms_wide = countmin_sketch(counts, depth=4, width=4096)
+    est_w = {
+        r.token: r.cms_estimate
+        for r in countmin_estimate(
+            cms_wide, counts.select("token"), depth=4, width=4096
+        ).collect()
+    }
+    assert est_w == exact
+    # heavy_hitters surfaces the most frequent token first
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    hh = heavy_hitters_cms(docs, top_k=2, depth=4, width=64).collect()
+    assert hh[0].token == "a" and hh[0].exact_count == 4
+    assert all(r.overestimate >= 0 for r in hh)
