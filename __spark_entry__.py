@@ -2694,6 +2694,72 @@ SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
 FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
 
 
+ASSOC_MIN_SUP = 3
+ASSOC_TOP_K = 50
+ASSOC_MAX_BASKET = 200
+
+
+def q_orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Apriori association rules over order baskets: exact
+    integer supports, Apriori pruning before the metric join,
+    basket-size cap; confidence/lift rounded to 6 dp before the
+    lift-ranked top-50."""
+    from motive_spark.datapipe import association_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return association_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=ASSOC_MIN_SUP,
+        top_k=ASSOC_TOP_K,
+        max_basket_size=ASSOC_MAX_BASKET,
+    ).orderBy("rank")
+
+
+_ASSOC_SQL = f"""
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+kept AS MATERIALIZED (
+  SELECT bi.* FROM bi
+  JOIN (SELECT b, COUNT(*) AS bs FROM bi GROUP BY 1
+        HAVING COUNT(*) <= {ASSOC_MAX_BASKET}) s USING (b)
+),
+n AS (SELECT COUNT(DISTINCT b) AS nb FROM kept),
+ic AS MATERIALIZED (SELECT i, COUNT(*) AS ic FROM kept GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT a.i AS ia, c.i AS ib, COUNT(*) AS pc
+  FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {ASSOC_MIN_SUP}
+),
+directed AS (
+  SELECT ia AS antecedent, ib AS consequent, pc FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, pc FROM pairs
+),
+rules AS (
+  SELECT d.antecedent, d.consequent,
+         CAST(d.pc AS BIGINT) AS pair_count,
+         CAST(x.ic AS BIGINT) AS ante_count,
+         CAST(y.ic AS BIGINT) AS cons_count,
+         ROUND(d.pc * 1.0 / x.ic, 6) AS confidence,
+         ROUND(CAST(d.pc * n.nb AS DOUBLE) / (x.ic * y.ic), 6) AS lift
+  FROM directed d
+  JOIN ic x ON x.i = d.antecedent
+  JOIN ic y ON y.i = d.consequent
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent) AS rank
+  FROM rules
+)
+SELECT antecedent, consequent, pair_count, ante_count, cons_count,
+       confidence, lift, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ASSOC_TOP_K} ORDER BY rank"""
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOP_K = 32
@@ -3466,6 +3532,7 @@ _DATAPIPE_QUERIES = {
     "text_tfidf_similar": q_text_tfidf_similar,
     "text_collocations": q_text_collocations,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "orders_assoc_rules": q_orders_assoc_rules,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3732,6 +3799,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "docs_stratified_sample": _stratified_sample_sql(),
     "docs_weighted_sample": _weighted_sample_sql(),
     "text_heavy_hitters": _heavy_hitters_sql(),
+    "orders_assoc_rules": _ASSOC_SQL,
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

@@ -39,6 +39,7 @@ from motive_spark.datapipe.temporal import (
     rolling_window_stats,
     sessionize,
 )
+from motive_spark.datapipe.assoc import association_rules
 from motive_spark.datapipe.linkage import blocked_link_pairs
 from motive_spark.datapipe.sketch import (
     countmin_estimate,
@@ -79,6 +80,7 @@ __all__ = [
     "token_stats",
     "bm25_topk",
     "tfidf_similar_docs",
+    "association_rules",
     "blocked_link_pairs",
     "countmin_sketch",
     "countmin_estimate",

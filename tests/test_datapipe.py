@@ -857,3 +857,55 @@ def test_countmin_sketch_guarantee(spark):
     hh = heavy_hitters_cms(docs, top_k=2, depth=4, width=64).collect()
     assert hh[0].token == "a" and hh[0].exact_count == 4
     assert all(r.overestimate >= 0 for r in hh)
+
+
+def test_association_rules_vs_python(spark):
+    """Supports/confidence/lift against a brute-force python oracle."""
+    from itertools import combinations
+
+    from motive_spark.datapipe import association_rules
+
+    baskets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b"],
+        3: ["a", "c"],
+        4: ["b", "c"],
+        5: ["a", "b", "d"],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, "b", "i", min_support=2, top_k=None
+        ).collect()
+    }
+    n = len(baskets)
+    ic: dict = {}
+    pc: dict = {}
+    for items in baskets.values():
+        for i in items:
+            ic[i] = ic.get(i, 0) + 1
+        for x, y in combinations(sorted(items), 2):
+            pc[(x, y)] = pc.get((x, y), 0) + 1
+    want = {}
+    for (x, y), c in pc.items():
+        if c >= 2:
+            want[(x, y)] = (c, ic[x], ic[y], round(c / ic[x], 6),
+                            round(c * n / (ic[x] * ic[y]), 6))
+            want[(y, x)] = (c, ic[y], ic[x], round(c / ic[y], 6),
+                            round(c * n / (ic[x] * ic[y]), 6))
+    assert set(got) == set(want)
+    for k, (p, a, co, conf, lift) in want.items():
+        r = got[k]
+        assert (r.pair_count, r.ante_count, r.cons_count) == (p, a, co)
+        assert abs(r.confidence - conf) < 1e-9
+        assert abs(r.lift - lift) < 1e-9
+    # basket-size cap drops the whole oversized basket
+    capped = association_rules(
+        df, "b", "i", min_support=1, top_k=None, max_basket_size=2
+    ).collect()
+    assert {(r.antecedent, r.consequent) for r in capped} == {
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
+        ("c", "b"),
+    }
