@@ -2694,6 +2694,50 @@ SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
 FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 intervals from the event change log: per user the
+    event_type attribute's validity windows, no-op updates collapsed,
+    (ts, event_id) ordering; bounds in integer micros (TZ-free)."""
+    from motive_spark.datapipe import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return scd2_intervals(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT user_id AS k, epoch_us(ts) AS us, event_id, event_type
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         LAG(event_type) OVER (PARTITION BY k ORDER BY us, event_id)
+           AS prev_type,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY us, event_id) AS rn
+  FROM base
+),
+kept AS MATERIALIZED (
+  SELECT * FROM flagged
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+)
+SELECT k AS user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY us, event_id)
+            AS INT) AS version,
+       us AS valid_from_us,
+       LEAD(us) OVER (PARTITION BY k ORDER BY us, event_id)
+         AS valid_to_us,
+       LEAD(us) OVER (PARTITION BY k ORDER BY us, event_id) IS NULL
+         AS is_current,
+       event_type
+FROM kept ORDER BY user_id, version"""
+
+
 ASSOC_MIN_SUP = 3
 ASSOC_TOP_K = 50
 ASSOC_MAX_BASKET = 200
@@ -3533,6 +3577,7 @@ _DATAPIPE_QUERIES = {
     "text_collocations": q_text_collocations,
     "text_heavy_hitters": q_text_heavy_hitters,
     "orders_assoc_rules": q_orders_assoc_rules,
+    "events_scd2": q_events_scd2,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3800,6 +3845,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "docs_weighted_sample": _weighted_sample_sql(),
     "text_heavy_hitters": _heavy_hitters_sql(),
     "orders_assoc_rules": _ASSOC_SQL,
+    "events_scd2": _SCD2_SQL,
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

@@ -37,6 +37,7 @@ from motive_spark.datapipe.temporal import (
     funnel,
     retention_cohorts,
     rolling_window_stats,
+    scd2_intervals,
     sessionize,
 )
 from motive_spark.datapipe.assoc import association_rules
@@ -96,6 +97,7 @@ __all__ = [
     "funnel",
     "retention_cohorts",
     "rolling_window_stats",
+    "scd2_intervals",
     "quality_scores",
     "detect_language",
     "detect_language_ngram",

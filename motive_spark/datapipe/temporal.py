@@ -351,3 +351,60 @@ def rolling_window_stats(
         F.count(F.lit(1)).over(w).alias("n_window"),
         F.sum("_cents").over(w).alias("cents_window"),
     )
+
+
+def scd2_intervals(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 from a change log: per entity,
+    each attribute change opens a new version valid from its update
+    time until the next change (NULL ``valid_to_us`` = current row).
+
+    The CDC→warehouse primitive: one shuffle on the entity key, one
+    ordered window per entity (bounded by that entity's update count —
+    a power entity is the caller's salting decision, the sessionize
+    caveat).  ``collapse_unchanged`` drops no-op updates (all
+    ``attr_cols`` equal to the previous version) BEFORE the interval
+    stitch, so back-to-back identical snapshots don't fragment
+    versions.  Ordering is (ts, tiebreak) — pass a unique
+    ``tiebreak_col`` to make same-timestamp updates deterministic.
+
+    Returns (key, version, valid_from_us, valid_to_us, is_current,
+    *attr_cols) with validity bounds as integer micros (TZ-free,
+    engine-portable).
+    """
+    if not attr_cols:
+        raise ValueError("scd2_intervals: attr_cols must be non-empty")
+    us = _micros(updates, ts_col)
+    order = [F.col("_us")] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    base = updates.select(
+        F.col(key_col).alias("_k"),
+        us.alias("_us"),
+        *([F.col(tiebreak_col)] if tiebreak_col else []),
+        *[F.col(c) for c in attr_cols],
+    )
+    w = Window.partitionBy("_k").orderBy(*order)
+    if collapse_unchanged:
+        changed = F.lit(False)
+        for c in attr_cols:
+            prev = F.lag(F.col(c)).over(w)
+            # null-safe inequality: a change to/from NULL is a change
+            changed = changed | ~F.col(c).eqNullSafe(prev)
+        first = F.lag(F.col("_us")).over(w).isNull()
+        base = base.withColumn("_keep", first | changed).where("_keep")
+    w2 = Window.partitionBy("_k").orderBy(*order)
+    return base.select(
+        F.col("_k").alias(key_col),
+        F.row_number().over(w2).alias("version"),
+        F.col("_us").alias("valid_from_us"),
+        F.lead(F.col("_us")).over(w2).alias("valid_to_us"),
+        F.lead(F.col("_us")).over(w2).isNull().alias("is_current"),
+        *[F.col(c) for c in attr_cols],
+    )

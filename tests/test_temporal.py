@@ -264,3 +264,42 @@ def test_rolling_window_stats_semantics(spark):
     assert out[12] == (3, 1400)
     assert out[13] == (3, 1400)
     assert out[20] == (1, 50)
+
+
+def test_scd2_intervals_semantics(spark):
+    """Interval stitching, no-op collapse, null-change handling,
+    tie-break determinism — against hand-computed expectations."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.datapipe import scd2_intervals
+
+    rows = [
+        # key, ts, id, attr
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-02 00:00:00", 2, "a"),   # no-op -> collapsed
+        (1, "2024-01-03 00:00:00", 3, "b"),
+        (1, "2024-01-03 00:00:00", 4, "c"),   # same ts: id tie-break
+        (2, "2024-01-01 00:00:00", 5, None),  # null initial
+        (2, "2024-01-02 00:00:00", 6, "x"),   # null -> x is a change
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, eid long, attr string"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "eid", "attr")
+    out = scd2_intervals(
+        df, "k", "ts", ["attr"], tiebreak_col="eid"
+    ).collect()
+    by = {(r.k, r.version): r for r in out}
+    assert len(by) == 5
+    day = 86_400_000_000
+    t0 = 1_704_067_200_000_000  # 2024-01-01 UTC in micros
+    r11 = by[(1, 1)]
+    assert (r11.attr, r11.valid_from_us, r11.valid_to_us) == (
+        "a", t0, t0 + 2 * day)  # collapse skipped the Jan2 no-op
+    r12 = by[(1, 2)]
+    assert (r12.attr, r12.valid_to_us) == ("b", t0 + 2 * day)
+    r13 = by[(1, 3)]
+    assert (r13.attr, r13.valid_to_us, r13.is_current) == ("c", None, True)
+    assert by[(2, 1)].attr is None and by[(2, 2)].attr == "x"
+    # exactly one current row per key
+    cur = [r for r in out if r.is_current]
+    assert sorted(r.k for r in cur) == [1, 2]
