@@ -1735,6 +1735,66 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_THRESHOLD = 0.15
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state dedup: the odd-id half of documents arrives as the
+    NEW batch and is screened against the even-id corpus only (no
+    corpus×corpus re-pairing); every new doc gets a keep/drop verdict
+    with its best corpus match."""
+    from motive_spark.datapipe import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    new = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    return incremental_dedup(
+        new, corpus, n=3, threshold=INCR_THRESHOLD, max_doc_freq=1000
+    ).orderBy("doc_id")
+
+
+def _incremental_dedup_sql(threshold: float = INCR_THRESHOLD) -> str:
+    return (
+        "WITH "
+        + _GRAM_SQL
+        + ","
+        + _grams_sql(3)
+        + f""",
+gn AS MATERIALIZED (SELECT doc_id, gram FROM grams WHERE doc_id % 2 = 1),
+gc AS MATERIALIZED (SELECT doc_id, gram FROM grams WHERE doc_id % 2 = 0),
+sn AS (SELECT doc_id, COUNT(*) AS na FROM gn GROUP BY 1),
+sc AS (SELECT doc_id, COUNT(*) AS nb FROM gc GROUP BY 1),
+rare AS (SELECT gram FROM gc GROUP BY gram HAVING COUNT(*) <= 1000),
+shared AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corp_id, COUNT(*) AS shared
+  FROM gn n
+  JOIN (SELECT gc.* FROM gc JOIN rare USING (gram)) c USING (gram)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.new_id, s.corp_id,
+         ROUND(s.shared * 1.0 / (sn.na + sc.nb - s.shared), 6) AS j
+  FROM shared s
+  JOIN sn ON sn.doc_id = s.new_id
+  JOIN sc ON sc.doc_id = s.corp_id
+),
+best AS (
+  SELECT new_id, corp_id AS dup_of, j AS jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY new_id ORDER BY j DESC, corp_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.jaccard >= {threshold}, FALSE) AS is_dup,
+       CASE WHEN b.jaccard >= {threshold} THEN b.dup_of END AS dup_of,
+       CASE WHEN b.jaccard >= {threshold} THEN b.jaccard END AS jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN best b ON b.new_id = d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed dedup pipeline: Jaccard candidate pairs -> connected
     components -> per-cluster keeper; the oracle recomputes the pairs
@@ -3542,6 +3602,7 @@ _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "events_temporal_graph": q_events_temporal_graph,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
     "dedup_multi_signal": q_dedup_multi_signal,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3726,6 +3787,7 @@ _DATAPIPE_ORACLES = {
 SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
     "dedup_ngram_jaccard": _jaccard_sql(),
+    "dedup_incremental": _incremental_dedup_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_multi_signal": _multi_signal_sql(),
     "text_gopher": _gopher_sql(),

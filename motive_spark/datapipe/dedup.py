@@ -298,3 +298,91 @@ def multi_signal_dedup(
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the steady-state
+    shape of a production pipeline (the crawl of the day vs the
+    accumulated corpus), where re-pairing the whole corpus against
+    itself every day would be quadratic in history.
+
+    Inverted-index join of new-batch grams against corpus grams only
+    (never corpus×corpus); the document-frequency cap is computed on
+    the CORPUS side (the big, slowly-moving side — a boilerplate gram
+    shared by half the corpus would otherwise fan every new doc out to
+    half the corpus).  Returns EVERY new doc with its keep/drop
+    verdict: (doc_id, is_dup, dup_of, jaccard) where dup_of is the
+    best-matching corpus doc (max jaccard, ties to smallest id) and
+    is_dup = best jaccard >= threshold; non-matching docs carry NULL
+    dup_of/jaccard.
+    """
+    gn = word_ngrams(new_docs, n)
+    gc = word_ngrams(corpus, n).cache()
+    sizes_n = gn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na"))
+    sizes_c = gc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb"))
+    rare = (
+        gc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_doc_freq)
+        .select("gram")
+    )
+    shared = (
+        gn.withColumnRenamed("doc_id", "new_id")
+        .join(gc.join(rare, "gram").withColumnRenamed("doc_id", "corp_id"),
+              "gram")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        shared.join(
+            sizes_n.select(F.col("doc_id").alias("new_id"), "na"), "new_id"
+        )
+        .join(
+            sizes_c.select(F.col("doc_id").alias("corp_id"), "nb"), "corp_id"
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            F.round(
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("j"),
+        )
+    )
+    best = (
+        scored.groupBy("new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("j"), (-F.col("corp_id")).alias("neg"))
+            ).alias("top")
+        )
+        .select(
+            "new_id",
+            (-F.col("top.neg")).alias("dup_of"),
+            F.col("top.j").alias("jaccard"),
+        )
+    )
+    gc.unpersist()
+    return (
+        new_docs.select("doc_id")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("jaccard") >= threshold, F.lit(False)
+            ).alias("is_dup"),
+            F.when(F.col("jaccard") >= threshold, F.col("dup_of")).alias(
+                "dup_of"
+            ),
+            F.when(F.col("jaccard") >= threshold, F.col("jaccard")).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -909,3 +909,31 @@ def test_association_rules_vs_python(spark):
         ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"),
         ("c", "b"),
     }
+
+
+def test_incremental_dedup_semantics(spark):
+    """New docs screen against the corpus only: exact copies flagged
+    with jaccard 1.0; novel docs pass with NULL match; corpus-internal
+    duplicates never appear in the output."""
+    from motive_spark.datapipe import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # corp dup
+            (6, "completely different corpus text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # dup of 2
+            (3, "an entirely novel document with fresh unseen words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(
+        new, corpus, n=3, threshold=0.5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].is_dup and out[1].dup_of == 2 and out[1].jaccard == 1.0
+    assert not out[3].is_dup and out[3].dup_of is None
