@@ -165,6 +165,8 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_louvain",
                     "events_temporal_graph",
                     "stream_late_data",
+                    "orders_assoc_rules",
+                    "events_scd2",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle
