@@ -2754,6 +2754,47 @@ SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
 FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
 
 
+SALT_N = 8
+
+
+def q_orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling: lineitem⋈orders through the salted-join
+    operator (md5 row salt spreads each key over 8 sub-keys; the
+    orders side replicates 8×), aggregated to revenue per priority —
+    row-for-row identical to the plain join, which is exactly what the
+    oracle runs."""
+    from motive_spark.datapipe import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ep_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_c"),
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=SALT_N)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("ep_c") * (100 - F.col("disc_c"))).alias(
+                "revenue_c4"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 intervals from the event change log: per user the
     event_type attribute's validity windows, no-op updates collapsed,
@@ -3639,6 +3680,7 @@ _DATAPIPE_QUERIES = {
     "text_heavy_hitters": q_text_heavy_hitters,
     "orders_assoc_rules": q_orders_assoc_rules,
     "events_scd2": q_events_scd2,
+    "orders_salted_join": q_orders_salted_join,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3908,6 +3950,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "text_heavy_hitters": _heavy_hitters_sql(),
     "orders_assoc_rules": _ASSOC_SQL,
     "events_scd2": _SCD2_SQL,
+    "orders_salted_join": _SALTED_JOIN_SQL,
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

@@ -43,6 +43,7 @@ from motive_spark.datapipe.temporal import (
 )
 from motive_spark.datapipe.assoc import association_rules
 from motive_spark.datapipe.linkage import blocked_link_pairs
+from motive_spark.datapipe.skew import salted_join, top_keys_by_count
 from motive_spark.datapipe.sketch import (
     countmin_estimate,
     countmin_sketch,
@@ -85,6 +86,8 @@ __all__ = [
     "association_rules",
     "incremental_dedup",
     "blocked_link_pairs",
+    "salted_join",
+    "top_keys_by_count",
     "countmin_sketch",
     "countmin_estimate",
     "heavy_hitters_cms",

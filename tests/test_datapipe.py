@@ -937,3 +937,54 @@ def test_incremental_dedup_semantics(spark):
     assert set(out) == {1, 3}
     assert out[1].is_dup and out[1].dup_of == 2 and out[1].jaccard == 1.0
     assert not out[3].is_dup and out[3].dup_of is None
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salted join returns EXACTLY the plain join's multiset (dup keys
+    included); the hot key's rows actually spread over multiple salts;
+    only_keys path composes plain+salted without loss."""
+    from collections import Counter
+
+    from motive_spark.datapipe import salted_join, top_keys_by_count
+
+    left = spark.createDataFrame(
+        [(1, f"l{i}") for i in range(50)] + [(2, "x"), (3, "y"), (3, "z")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (1, "r2"), (2, "r"), (4, "never")], "k long, rv string"
+    )
+    plain = Counter(tuple(r) for r in left.join(right, "k").collect())
+    for kwargs in ({"n_salts": 4}, {"n_salts": 4, "only_keys": [1]}):
+        got = Counter(
+            tuple(r) for r in salted_join(left, right, "k", **kwargs).collect()
+        )
+        assert got == plain, kwargs
+    # the hot key occupies >1 salt bucket (md5 spread)
+    from pyspark.sql import functions as SF
+
+    salts = (
+        left.where("k = 1")
+        .select(
+            SF.pmod(
+                SF.conv(
+                    SF.substring(
+                        SF.md5(SF.concat_ws("\x1f", SF.col("k").cast("string"),
+                                            SF.col("lv").cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long"),
+                SF.lit(4),
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+    hot = top_keys_by_count(left, ["k"], top_k=1).collect()
+    assert hot[0].k == 1 and hot[0].n_rows == 50
+    # overlapping non-key columns are rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, left, "k")
