@@ -2754,6 +2754,109 @@ SELECT doc_id, lang, n_chars, CAST(aes_rank AS INT) AS aes_rank
 FROM ranked WHERE aes_rank <= {n} ORDER BY aes_rank"""
 
 
+BLOOM_BAL = 9000.0
+BLOOM_BITS = 512
+BLOOM_HASHES = 2
+
+
+def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning, audited: rich-customer keys build
+    a deliberately small (512-bit, 2-hash) Bloom filter; the orders
+    fact is pruned through it pre-shuffle.  The single summary row
+    carries the exact pass/true/false-positive accounting — the audit
+    a pipeline runs before trusting a runtime filter at scale."""
+    from motive_spark.datapipe import bloom_bits, bloom_semi_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = cust.where(F.col("c_acctbal") >= BLOOM_BAL).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    bloom = bloom_bits(
+        dim, "o_custkey", n_hashes=BLOOM_HASHES, n_bits=BLOOM_BITS
+    )
+    passed = bloom_semi_join(
+        orders, bloom, "o_custkey", n_hashes=BLOOM_HASHES, n_bits=BLOOM_BITS
+    )
+    true_rows = orders.join(F.broadcast(dim), "o_custkey", "semi")
+    return (
+        passed.agg(
+            F.count(F.lit(1)).alias("n_pass_rows"),
+            F.countDistinct("o_custkey").alias("n_pass_keys"),
+        )
+        .crossJoin(
+            true_rows.agg(
+                F.count(F.lit(1)).alias("n_true_rows"),
+                F.countDistinct("o_custkey").alias("n_true_keys"),
+            )
+        )
+        .crossJoin(dim.agg(F.count(F.lit(1)).alias("n_dim_keys")))
+        .crossJoin(
+            orders.agg(
+                F.count(F.lit(1)).alias("n_fact_rows"),
+                F.countDistinct("o_custkey").alias("n_fact_keys"),
+            )
+        )
+        .select(
+            "n_dim_keys",
+            "n_fact_rows",
+            "n_fact_keys",
+            "n_pass_rows",
+            "n_pass_keys",
+            "n_true_rows",
+            "n_true_keys",
+            (F.col("n_pass_keys") - F.col("n_true_keys")).alias(
+                "n_false_pos_keys"
+            ),
+        )
+    )
+
+
+def _bloom_prune_sql(
+    bal: float = BLOOM_BAL, bits: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> str:
+    probe = " UNION ALL ".join(
+        f"SELECT o_custkey, {j} AS h, "
+        f"(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '|{j}'), 1, 8))"
+        f"::BIGINT) % {bits} AS bit FROM fk"
+        for j in range(k)
+    )
+    bitsrc = " UNION ALL ".join(
+        f"SELECT {j} AS h, "
+        f"(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|{j}'), 1, 8))"
+        f"::BIGINT) % {bits} AS bit FROM dim"
+        for j in range(k)
+    )
+    return f"""
+WITH dim AS MATERIALIZED (
+  SELECT c_custkey FROM customer WHERE c_acctbal >= {bal}
+),
+bloom AS MATERIALIZED (SELECT DISTINCT h, bit FROM ({bitsrc})),
+fk AS MATERIALIZED (SELECT DISTINCT o_custkey FROM orders),
+passing AS MATERIALIZED (
+  SELECT o_custkey FROM ({probe}) p
+  JOIN bloom USING (h, bit)
+  GROUP BY o_custkey HAVING COUNT(*) = {k}
+),
+pass_rows AS (
+  SELECT COUNT(*) AS n_pass_rows, COUNT(DISTINCT o_custkey) AS n_pass_keys
+  FROM orders WHERE o_custkey IN (SELECT o_custkey FROM passing)
+),
+true_rows AS (
+  SELECT COUNT(*) AS n_true_rows, COUNT(DISTINCT o_custkey) AS n_true_keys
+  FROM orders WHERE o_custkey IN (SELECT c_custkey FROM dim)
+)
+SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim_keys,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_fact_rows,
+       CAST((SELECT COUNT(*) FROM fk) AS BIGINT) AS n_fact_keys,
+       CAST(n_pass_rows AS BIGINT) AS n_pass_rows,
+       CAST(n_pass_keys AS BIGINT) AS n_pass_keys,
+       CAST(n_true_rows AS BIGINT) AS n_true_rows,
+       CAST(n_true_keys AS BIGINT) AS n_true_keys,
+       CAST(n_pass_keys - n_true_keys AS BIGINT) AS n_false_pos_keys
+FROM pass_rows, true_rows"""
+
+
 SALT_N = 8
 
 
@@ -3681,6 +3784,7 @@ _DATAPIPE_QUERIES = {
     "orders_assoc_rules": q_orders_assoc_rules,
     "events_scd2": q_events_scd2,
     "orders_salted_join": q_orders_salted_join,
+    "orders_bloom_prune": q_orders_bloom_prune,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3951,6 +4055,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "orders_assoc_rules": _ASSOC_SQL,
     "events_scd2": _SCD2_SQL,
     "orders_salted_join": _SALTED_JOIN_SQL,
+    "orders_bloom_prune": _bloom_prune_sql(),
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count
     # reaches ceil(p * n), integer arithmetic throughout

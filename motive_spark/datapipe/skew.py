@@ -106,3 +106,85 @@ def salted_join(
     out = l_s.join(r_s, [on, "_salt"], "inner").drop("_salt")
     # restore the plain join's column order
     return out.select(*lcols, *[c for c in rcols if c != on])
+
+
+def _bloom_bit(key_col: str, j: int, n_bits: int):
+    """Bit j of a key: md5(key|j) mod n_bits — engine-portable."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(key_col).cast("string"), F.lit(str(j))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_bits),
+    )
+
+
+def _probe_rows(
+    keys: DataFrame, key_col: str, n_hashes: int, n_bits: int
+) -> DataFrame:
+    """(key, h, bit) — every key fanned out to its n_hashes positions."""
+    probes = [
+        keys.select(
+            F.col(key_col),
+            F.lit(j).alias("h"),
+            _bloom_bit(key_col, j, n_bits).alias("bit"),
+        )
+        for j in range(n_hashes)
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, n_hashes: int = 3, n_bits: int = 65536
+) -> DataFrame:
+    """Build a Bloom filter of ``keys`` as a DISTINCT (h, bit) position
+    table — at most ``n_hashes·n_bits`` rows no matter how many keys,
+    so it broadcasts.  Bit j of key x is ``md5(x|j) mod n_bits`` (the
+    repo-wide engine-portable hash).
+
+    This is the runtime-filter trick a 100-TB join lives on: ship the
+    small side's Bloom bits to the fact scan and drop non-matching
+    rows BEFORE the shuffle (Spark's own runtime row-group filtering
+    does this opaquely; here it is an explicit, testable operator with
+    false positives accounted for)."""
+    return (
+        _probe_rows(keys, key_col, n_hashes, n_bits)
+        .select("h", "bit")
+        .dropDuplicates(["h", "bit"])
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_hashes: int = 3,
+    n_bits: int = 65536,
+) -> DataFrame:
+    """Rows of ``fact`` whose key passes the Bloom filter (every one of
+    its ``n_hashes`` bits set).  Contains all true matches plus the
+    filter's false positives — the pre-shuffle pruning semantics, as a
+    DataFrame op: distinct fact keys probe the broadcast bit table,
+    surviving keys semi-join the fact."""
+    fk = fact.select(F.col(key_col)).dropDuplicates([key_col])
+    passing = (
+        _probe_rows(fk, key_col, n_hashes, n_bits)
+        .join(F.broadcast(bloom), ["h", "bit"])
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == n_hashes)
+        .select(key_col)
+    )
+    return fact.join(F.broadcast(passing), key_col, "semi")

@@ -988,3 +988,25 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, left, "k")
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    """Bloom pruning NEVER loses a true match (no false negatives);
+    with a tiny filter false positives appear; with a huge filter the
+    pass set equals the exact semi-join."""
+    from motive_spark.datapipe import bloom_bits, bloom_semi_join
+
+    dim = spark.createDataFrame([(i,) for i in range(0, 50)], "k long")
+    fact = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(0, 500)], "k long, v string"
+    )
+    true_keys = set(range(50))
+    for bits in (64, 1 << 20):
+        bloom = bloom_bits(dim, "k", n_hashes=2, n_bits=bits)
+        got = {r.k for r in bloom_semi_join(
+            fact, bloom, "k", n_hashes=2, n_bits=bits).collect()}
+        assert true_keys <= got, bits  # no false negatives, ever
+        if bits == 1 << 20:
+            assert got == true_keys  # wide filter: exact
+        else:
+            assert len(got) >= len(true_keys)  # tiny filter: FPs allowed
