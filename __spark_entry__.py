@@ -1162,14 +1162,17 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_msf(ew).orderBy("src", "dst")
 
 
-def _msf_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
-    """Unrolled Boruvka: per round, label endpoints, per-component
+def _msf_body(rounds: int, jumps: int, min_mult: int = 1) -> str:
+    """WITH-body (no leading WITH, no final SELECT) of the unrolled
+    Boruvka replay: per round, label endpoints, per-component
     ROW_NUMBER argmin over (w, src, dst), 2-cycle break to the min-id
     root, ``jumps`` pointer-jump steps, relabel.  Converged rounds are
     empty no-ops, so a fixed unroll >= log2(|V|) replays the kernel's
-    run-to-convergence exactly."""
+    run-to-convergence exactly.  Ends with ``forest`` (the chosen
+    edges) and leaves ``l{rounds}`` (final component labels) in scope
+    — shared by the MSF and bridges oracles."""
     parts = [
-        """WITH li AS MATERIALIZED (
+        f"""li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
 ew AS MATERIALIZED (
@@ -1177,7 +1180,7 @@ ew AS MATERIALIZED (
          CAST(b.l_partkey AS BIGINT) AS dst, COUNT(*) AS w
   FROM li a JOIN li b USING (l_orderkey)
   WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_mult}
 ),
 l0 AS MATERIALIZED (
   SELECT id, id AS c FROM (
@@ -1232,12 +1235,111 @@ l{r} AS MATERIALIZED (
         f"SELECT src, dst, w FROM ch{r}" for r in range(1, rounds + 1)
     )
     parts.append(
-        f"""
-SELECT DISTINCT src, dst, w FROM (
+        f""",
+forest AS MATERIALIZED (
+  SELECT DISTINCT src, dst, w FROM (
   {union}
-) ORDER BY src, dst"""
+  )
+)"""
     )
     return "".join(parts)
+
+
+def _msf_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    return (
+        "WITH "
+        + _msf_body(rounds, jumps)
+        + "\nSELECT src, dst, w FROM forest ORDER BY src, dst"
+    )
+
+
+BRIDGE_MIN_MULT = 2
+
+
+def _bridges_sql(rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS) -> str:
+    """Bridges via the same spanning forest the kernel builds: root
+    every tree at its Boruvka component label (a real vertex id),
+    climb parents recursively (safe — trees are acyclic), close the
+    ancestor relation, then label each tree edge with the bit_xor of
+    the md5 tags of non-tree edges covering it (deposited at both
+    endpoints, XOR-summed over the subtree).  label 0 ⟺ bridge."""
+    return (
+        "WITH RECURSIVE "
+        + _msf_body(rounds, jumps, min_mult=BRIDGE_MIN_MULT)
+        + f""",
+tadj AS MATERIALIZED (
+  SELECT src, dst FROM forest
+  UNION ALL SELECT dst AS src, src AS dst FROM forest
+),
+troots AS (SELECT DISTINCT c AS id FROM l{rounds}),
+rooted AS (
+  SELECT id, CAST(-1 AS BIGINT) AS parent FROM troots
+  UNION ALL
+  SELECT t.dst AS id, r.id AS parent
+  FROM rooted r JOIN tadj t ON t.src = r.id AND t.dst <> r.parent
+),
+anc AS (
+  SELECT id AS v, id AS a FROM rooted
+  UNION ALL
+  SELECT anc.v, r.parent AS a
+  FROM anc JOIN rooted r ON r.id = anc.a
+  WHERE r.parent <> -1
+),
+ntag AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         ('0x' || substr(md5(CAST(e.src AS VARCHAR) || '|'
+                             || CAST(e.dst AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM ew e LEFT JOIN forest f ON f.src = e.src AND f.dst = e.dst
+  WHERE f.src IS NULL
+),
+wv AS MATERIALIZED (
+  SELECT id, bit_xor(h) AS acc FROM (
+    SELECT src AS id, h FROM ntag UNION ALL SELECT dst AS id, h FROM ntag
+  ) GROUP BY 1
+),
+lab AS (
+  SELECT r.parent, r.id AS child, bit_xor(w.acc) AS label
+  FROM rooted r
+  JOIN anc a ON a.a = r.id
+  JOIN wv w ON w.id = a.v
+  WHERE r.parent <> -1
+  GROUP BY 1, 2
+)
+SELECT LEAST(r.parent, r.id) AS src, GREATEST(r.parent, r.id) AS dst
+FROM rooted r
+LEFT JOIN lab l ON l.parent = r.parent AND l.child = r.id
+WHERE r.parent <> -1 AND COALESCE(l.label, 0) = 0
+ORDER BY src, dst"""
+    )
+
+
+def q_graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut edges of the multiplicity>=2 co-purchase backbone (the
+    dense full graph is 2-edge-connected almost everywhere — the
+    backbone has real pendants/cut edges): Boruvka spanning forest +
+    md5 XOR covering tags, leaf-peeling subtree fold — the oracle
+    rebuilds the identical forest and labels via recursive rooting."""
+    from motive_spark.kernels import bridges
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= BRIDGE_MIN_MULT)
+    )
+    return bridges(ew, weight_col="w").orderBy("src", "dst")
 
 
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hyperball": q_graph_hyperball,
         "graph_ktruss": q_graph_ktruss,
         "graph_msf": q_graph_msf,
+        "graph_bridges": q_graph_bridges,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -1597,6 +1700,7 @@ s0 AS (
         "graph_hyperball": _hyperball_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_msf": _msf_sql(),
+        "graph_bridges": _bridges_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_sssp_delta": _sssp_sql(rounds=8),
         "graph_neighbor_features": _NEIGHBOR_FEATURES_SQL,

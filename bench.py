@@ -167,6 +167,9 @@ def _extra_benches(spark) -> dict[str, float]:
                     "stream_late_data",
                     "orders_assoc_rules",
                     "events_scd2",
+                    "orders_salted_join",
+                    "orders_bloom_prune",
+                    "graph_bridges",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle

@@ -6,6 +6,7 @@ from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.msf import boruvka_msf
+from motive_spark.kernels.bridges import bridges
 from motive_spark.kernels.louvain import louvain_refine
 from motive_spark.kernels.labelprop import (
     label_propagation,
@@ -42,6 +43,7 @@ __all__ = [
     "harmonic_centrality",
     "label_propagation",
     "louvain_refine",
+    "bridges",
     "seeded_label_propagation",
     "triangle_count",
     "triangles_per_vertex",

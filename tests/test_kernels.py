@@ -1549,3 +1549,94 @@ def test_windowed_graph_semantics(spark):
     # cap=1 excludes item 10 (degree 2) -> no copairs anywhere
     cp1 = windowed_copair_count(we, item_cap=1).collect()
     assert cp1 == []
+
+
+def py_bridges(pairs):
+    """Iterative Tarjan bridge finder (pure-python oracle)."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    disc, low = {}, {}
+    out = set()
+    timer = [0]
+    for s in adj:
+        if s in disc:
+            continue
+        stack = [(s, None, iter(sorted(adj[s])))]
+        disc[s] = low[s] = timer[0]
+        timer[0] += 1
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for u in it:
+                if u == parent:
+                    continue
+                if u in disc:
+                    low[v] = min(low[v], disc[u])
+                else:
+                    disc[u] = low[u] = timer[0]
+                    timer[0] += 1
+                    stack.append((u, v, iter(sorted(adj[u]))))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if low[v] > disc[parent]:
+                        out.add((min(parent, v), max(parent, v)))
+        # multi-edges between the same pair are never bridges
+    und = {}
+    for a, b in pairs:
+        if a != b:
+            k = (min(a, b), max(a, b))
+            und[k] = und.get(k, 0) + 1
+    return {e for e in out if und[e] == 1}
+
+
+def test_bridges_matches_tarjan(spark):
+    from motive_spark.kernels import bridges
+
+    fixtures = [
+        # cycle + pendant chain: only the chain edges are bridges
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+        # two cliques joined by one bridge
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        + [(3, 10)],
+        # pure tree: every edge is a bridge
+        [(0, 1), (1, 2), (1, 3), (3, 4), (3, 5)],
+        # two disjoint cycles: no bridges at all
+        [(0, 1), (1, 2), (2, 0), (7, 8), (8, 9), (9, 7)],
+    ]
+    for pairs in fixtures:
+        got = {
+            (r.src, r.dst) for r in bridges(edges_df(spark, pairs)).collect()
+        }
+        assert got == py_bridges(pairs), pairs
+
+
+def test_bridges_random_graphs(spark):
+    import random as _random
+
+    from motive_spark.kernels import bridges
+
+    rng = _random.Random(7)
+    for trial in range(3):
+        n = 14
+        pairs = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(18)
+                )
+                if a < b
+            }
+        )
+        got = {
+            (r.src, r.dst) for r in bridges(edges_df(spark, pairs)).collect()
+        }
+        assert got == py_bridges(pairs), (trial, pairs)
