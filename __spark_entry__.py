@@ -1342,6 +1342,150 @@ def q_graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridges(ew, weight_col="w").orderBy("src", "dst")
 
 
+def q_graph_articulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut vertices of the multiplicity>=2 co-purchase backbone via
+    Tarjan–Vishkin: arbitrary rooted spanning tree + preorder/subtree
+    intervals + aux-graph connected components — no DFS anywhere.  The
+    oracle rebuilds the identical tree, numbers it by recursive
+    root-path rank, and replays the aux construction."""
+    from motive_spark.kernels import articulation_points
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    ew = (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= BRIDGE_MIN_MULT)
+    )
+    return articulation_points(ew, weight_col="w").orderBy("id")
+
+
+def _articulation_sql(
+    rounds: int = MSF_ROUNDS, jumps: int = MSF_JUMPS
+) -> str:
+    """Tarjan–Vishkin replay: Boruvka forest (shared _msf_body),
+    recursive rooting carrying the root path, preorder = per-root rank
+    of the path list, sizes from the ancestor closure, low/high =
+    subtree min/max of non-tree reach, aux edges R1/R2, recursive
+    hash-min components of the aux graph, verdict."""
+    return (
+        "WITH RECURSIVE "
+        + _msf_body(rounds, jumps, min_mult=BRIDGE_MIN_MULT)
+        + f""",
+tadj AS MATERIALIZED (
+  SELECT src, dst FROM forest
+  UNION ALL SELECT dst AS src, src AS dst FROM forest
+),
+troots AS (SELECT DISTINCT c AS id FROM l{rounds}),
+rooted AS (
+  SELECT id, CAST(-1 AS BIGINT) AS parent, id AS root, [id] AS path
+  FROM troots
+  UNION ALL
+  SELECT t.dst AS id, r.id AS parent, r.root, list_append(r.path, t.dst)
+  FROM rooted r JOIN tadj t ON t.src = r.id AND t.dst <> r.parent
+),
+pre AS MATERIALIZED (
+  SELECT id, parent, root,
+         ROW_NUMBER() OVER (PARTITION BY root ORDER BY path) - 1 AS pre
+  FROM rooted
+),
+anc AS (
+  SELECT id AS v, id AS a FROM rooted
+  UNION ALL
+  SELECT anc.v, r.parent AS a FROM anc JOIN rooted r ON r.id = anc.a
+  WHERE r.parent <> -1
+),
+sz AS MATERIALIZED (SELECT a AS id, COUNT(*) AS size FROM anc GROUP BY 1),
+nte AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM ew e LEFT JOIN forest f ON f.src = e.src AND f.dst = e.dst
+  WHERE f.src IS NULL
+),
+reach AS MATERIALIZED (
+  SELECT n.id, MIN(p.pre) AS rlo, MAX(p.pre) AS rhi FROM (
+    SELECT src AS id, dst AS nb FROM nte
+    UNION ALL SELECT dst AS id, src AS nb FROM nte
+  ) n JOIN pre p ON p.id = n.nb GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT p.id, p.parent, p.pre,
+         LEAST(p.pre, COALESCE(r.rlo, p.pre)) AS v_lo,
+         GREATEST(p.pre, COALESCE(r.rhi, p.pre)) AS v_hi
+  FROM pre p LEFT JOIN reach r USING (id)
+),
+lowhigh AS MATERIALIZED (
+  SELECT a.a AS id, MIN(b.v_lo) AS low, MAX(b.v_hi) AS high
+  FROM anc a JOIN base b ON b.id = a.v GROUP BY 1
+),
+info AS MATERIALIZED (
+  SELECT p.id, p.parent, p.pre, s.size FROM pre p JOIN sz s USING (id)
+),
+r1 AS (
+  SELECT n.src, n.dst
+  FROM nte n
+  JOIN info ia ON ia.id = n.src
+  JOIN info ib ON ib.id = n.dst
+  WHERE NOT (ia.pre <= ib.pre AND ib.pre < ia.pre + ia.size)
+    AND NOT (ib.pre <= ia.pre AND ia.pre < ib.pre + ib.size)
+),
+r2 AS (
+  SELECT i.id AS src, i.parent AS dst
+  FROM info i
+  JOIN lowhigh lh ON lh.id = i.id
+  JOIN info ip ON ip.id = i.parent
+  WHERE i.parent <> -1 AND ip.parent <> -1
+    AND (lh.low < ip.pre OR lh.high >= ip.pre + ip.size)
+),
+auxsym AS MATERIALIZED (
+  SELECT src, dst FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+  UNION ALL
+  SELECT dst AS src, src AS dst
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+),
+auxreach(id, m) AS (
+  SELECT src AS id, src AS m FROM auxsym
+  UNION
+  SELECT s.dst AS id, r.m FROM auxsym s JOIN auxreach r ON s.src = r.id
+),
+blocks AS MATERIALIZED (
+  SELECT i.id AS child_edge,
+         COALESCE(MIN(ar.m), i.id) AS block
+  FROM info i LEFT JOIN auxreach ar ON ar.id = i.id
+  WHERE i.parent <> -1
+  GROUP BY i.id
+),
+nonroot AS (
+  SELECT DISTINCT c.parent AS id
+  FROM info c
+  JOIN blocks bc ON bc.child_edge = c.id
+  JOIN blocks bp ON bp.child_edge = c.parent
+  WHERE c.parent <> -1 AND bc.block <> bp.block
+),
+rootart AS (
+  SELECT c.parent AS id
+  FROM info c JOIN blocks bc ON bc.child_edge = c.id
+  JOIN info p ON p.id = c.parent
+  WHERE c.parent <> -1 AND p.parent = -1
+  GROUP BY c.parent HAVING COUNT(DISTINCT bc.block) >= 2
+)
+SELECT id FROM (
+  SELECT id FROM nonroot
+  JOIN info USING (id) WHERE parent <> -1
+  UNION SELECT id FROM rootart
+) ORDER BY id"""
+    )
+
+
 def q_graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Biased (p, q) node2vec walks with integer weights (1, 2, 4) =
     (return, distance-1, distance-2) — p=2, q=0.5 — 4 steps, 2 walks
@@ -1588,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_msf": q_graph_msf,
         "graph_bridges": q_graph_bridges,
+        "graph_articulation": q_graph_articulation,
         "graph_link_prediction": q_graph_link_prediction,
         "connected_components": q_components,
         "connected_components_csr": q_components_csr,
@@ -1701,6 +1846,7 @@ s0 AS (
         "graph_ktruss": _ktruss_sql(),
         "graph_msf": _msf_sql(),
         "graph_bridges": _bridges_sql(),
+        "graph_articulation": _articulation_sql(),
         "graph_sssp": _sssp_sql(),
         "graph_sssp_delta": _sssp_sql(rounds=8),
         "graph_neighbor_features": _NEIGHBOR_FEATURES_SQL,

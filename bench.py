@@ -170,6 +170,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "orders_salted_join",
                     "orders_bloom_prune",
                     "graph_bridges",
+                    "graph_articulation",
                 )
             )
             # dedup_embedding_cosine is the EXACT all-pairs oracle

@@ -6,6 +6,7 @@ from motive_spark.kernels.hyperball import hyperball
 from motive_spark.kernels.kcore import k_core
 from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.msf import boruvka_msf
+from motive_spark.kernels.articulation import articulation_points
 from motive_spark.kernels.bridges import bridges
 from motive_spark.kernels.louvain import louvain_refine
 from motive_spark.kernels.labelprop import (
@@ -44,6 +45,7 @@ __all__ = [
     "label_propagation",
     "louvain_refine",
     "bridges",
+    "articulation_points",
     "seeded_label_propagation",
     "triangle_count",
     "triangles_per_vertex",

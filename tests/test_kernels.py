@@ -1640,3 +1640,89 @@ def test_bridges_random_graphs(spark):
             (r.src, r.dst) for r in bridges(edges_df(spark, pairs)).collect()
         }
         assert got == py_bridges(pairs), (trial, pairs)
+
+
+def py_articulation(pairs):
+    """Iterative Tarjan articulation-point oracle."""
+    adj: dict = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    disc, low = {}, {}
+    art = set()
+    timer = [0]
+    for s in sorted(adj):
+        if s in disc:
+            continue
+        stack = [(s, None, iter(sorted(adj[s])))]
+        disc[s] = low[s] = timer[0]
+        timer[0] += 1
+        root_children = 0
+        while stack:
+            v, parent, it = stack[-1]
+            advanced = False
+            for u in it:
+                if u == parent:
+                    continue
+                if u in disc:
+                    low[v] = min(low[v], disc[u])
+                else:
+                    disc[u] = low[u] = timer[0]
+                    timer[0] += 1
+                    if v == s:
+                        root_children += 1
+                    stack.append((u, v, iter(sorted(adj[u]))))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+                if parent is not None:
+                    low[parent] = min(low[parent], low[v])
+                    if parent != s and low[v] >= disc[parent]:
+                        art.add(parent)
+        if root_children >= 2:
+            art.add(s)
+    return art
+
+
+def test_articulation_points_matches_tarjan(spark):
+    from motive_spark.kernels import articulation_points
+
+    fixtures = [
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],          # cycle+chain
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)],  # two cycles @2
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        + [(3, 10)],                                       # cliques+bridge
+        [(0, 1), (1, 2), (2, 0)],                          # triangle: none
+        [(0, 1), (1, 2), (1, 3), (3, 4)],                  # star-ish tree
+    ]
+    for pairs in fixtures:
+        got = {
+            r.id for r in articulation_points(edges_df(spark, pairs)).collect()
+        }
+        assert got == py_articulation(pairs), pairs
+
+
+def test_articulation_points_random(spark):
+    import random as _random
+
+    from motive_spark.kernels import articulation_points
+
+    rng = _random.Random(11)
+    for trial in range(3):
+        n = 12
+        pairs = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(16)
+                )
+                if a < b
+            }
+        )
+        got = {
+            r.id for r in articulation_points(edges_df(spark, pairs)).collect()
+        }
+        assert got == py_articulation(pairs), (trial, pairs)
