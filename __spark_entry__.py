@@ -4736,6 +4736,127 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"""
 
 
+Q7_NATION_A = "NATION_7"
+Q7_NATION_B = "NATION_17"
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (public spec): revenue flowing between
+    two nations, by supplier/customer nation pair and ship year.  The
+    nation pair predicate rides the broadcast dimension joins; the
+    only big shuffle is lineitem⋈orders on orderkey.  Revenue in
+    exact 1e-4 fixed-point units."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sn = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    pair_ok = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .where(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("l_year"),
+        )
+        .agg(F.sum(ep_c * (100 - disc_c)).alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_TPCH_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       substr(strftime(l_shipdate, '%Y-%m-%d'), 1, 4) AS l_year,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE (sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+   OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+
+Q10_DATE_LO = "1995-01-01"
+Q10_DATE_HI = "1995-04-01"
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (public spec): lost revenue
+    per customer from returned lineitems of one order quarter, top 20.
+    The returnflag filter pushes into the lineitem scan; customer and
+    nation broadcast."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.date_format("o_orderdate", "yyyy-MM-dd") >= Q10_DATE_LO)
+        & (F.date_format("o_orderdate", "yyyy-MM-dd") < Q10_DATE_HI)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R"
+    )
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    cdim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias(
+                "c_acctbal_c"
+            ),
+            "c_mktsegment",
+            "n_name",
+        )
+        .agg(F.sum(ep_c * (100 - disc_c)).alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), "c_custkey")
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS c_acctbal_c,
+       c_mktsegment, n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND strftime(o_orderdate, '%Y-%m-%d') >= '{Q10_DATE_LO}'
+  AND strftime(o_orderdate, '%Y-%m-%d') < '{Q10_DATE_HI}'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY revenue_c4 DESC, c_custkey LIMIT 20"""
+
+
 # Standard Q18 uses 300; the synthetic tables' per-order quantity
 # distribution is lighter than real TPC-H, so 250 keeps the HAVING
 # selective (~1% of orders) while returning a non-trivial result.
@@ -4800,6 +4921,8 @@ _RELATIONAL_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "events_user_stats": q_events_user_stats,
     "events_top3_per_type": q_events_top3_per_type,
@@ -4812,6 +4935,8 @@ _RELATIONAL_ORACLES = {
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
+    "tpch_q7": _TPCH_Q7_SQL,
+    "tpch_q10": _TPCH_Q10_SQL,
     "tpch_q18": _TPCH_Q18_SQL,
     "events_user_stats": """
 SELECT user_id, COUNT(*) AS n_events,

@@ -158,6 +158,8 @@ def _extra_benches(spark) -> dict[str, float]:
                     "tpch_q1",
                     "tpch_q3",
                     "tpch_q5",
+                    "tpch_q7",
+                    "tpch_q10",
                     "tpch_q18",
                     "lineitem_approx_percentiles",
                     "docs_weighted_sample",

@@ -52,3 +52,20 @@ def test_tpch_q18_semantics(spark, sf_tiny):
             .collect()[0][0]
         )
         assert truth == out[0].sum_qty_c
+
+
+def test_tpch_q7_q10_semantics(spark, sf_tiny):
+    import __spark_entry__ as em
+
+    q7 = em.q_tpch_q7(spark, sf_tiny).collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in q7}
+    assert pairs <= {
+        (em.Q7_NATION_A, em.Q7_NATION_B),
+        (em.Q7_NATION_B, em.Q7_NATION_A),
+    }
+    assert all(r.revenue_c4 > 0 for r in q7)
+
+    q10 = em.q_tpch_q10(spark, sf_tiny).collect()
+    assert len(q10) <= 20
+    revs = [r.revenue_c4 for r in q10]
+    assert revs == sorted(revs, reverse=True)
