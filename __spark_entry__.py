@@ -3258,6 +3258,115 @@ SELECT antecedent, consequent, pair_count, ante_count, cons_count,
 FROM ranked WHERE rank <= {ASSOC_TOP_K} ORDER BY rank"""
 
 
+KMV_K = 48
+KMV_LANG_A = "en"
+KMV_LANG_B = "de"
+
+
+def q_docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta-style) distinct-token estimate per language: the k
+    smallest md5 digests of each language's token set; exact below k,
+    (k-1)/u_k above — every operand exact, so the oracle replays the
+    estimate to the rounded digit."""
+    from motive_spark.datapipe import kmv_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return kmv_distinct(toks, "lang", "token", k=KMV_K).orderBy("lang")
+
+
+def q_docs_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: |en|, |de|, |en∪de|, |en∩de| of the
+    token sets estimated from the two KMV sketches alone (union = merged
+    k-min; intersection = both-membership rate inside the union
+    sketch × union estimate)."""
+    from motive_spark.datapipe import kmv_set_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return kmv_set_ops(
+        toks, "lang", "token", KMV_LANG_A, KMV_LANG_B, k=KMV_K
+    )
+
+
+def _kmv_sketch_sql(lang_filter: str = "") -> str:
+    """Shared CTE body: per-language ascending distinct-digest lists."""
+    return f"""
+toksk AS MATERIALIZED (
+  SELECT DISTINCT lang, md5(w) AS h FROM (
+    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' {lang_filter}
+),
+ranked AS (
+  SELECT lang, h,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM toksk
+)"""
+
+
+_KMV_EST = (
+    "CASE WHEN n_seen < {k} THEN ROUND(CAST(n_seen AS DOUBLE), 4) "
+    "ELSE ROUND(({k} - 1) / (('0x' || substr(kth, 1, 15))::BIGINT "
+    "/ 1152921504606846976.0), 4) END"
+)
+
+
+def _kmv_distinct_sql(k: int = KMV_K) -> str:
+    est = _KMV_EST.format(k=k)
+    return (
+        "WITH "
+        + _kmv_sketch_sql()
+        + f""",
+sk AS (
+  SELECT lang, COUNT(*) AS n_seen, MAX(CASE WHEN r = {k} THEN h END) AS kth
+  FROM ranked WHERE r <= {k} GROUP BY lang
+)
+SELECT lang, {est} AS est_distinct,
+       CAST(n_seen AS BIGINT) AS sketch_size
+FROM sk ORDER BY lang"""
+    )
+
+
+def _kmv_setops_sql(
+    k: int = KMV_K, a: str = KMV_LANG_A, b: str = KMV_LANG_B
+) -> str:
+    est = _KMV_EST.format(k=k)
+    return (
+        "WITH "
+        + _kmv_sketch_sql(f"AND lang IN ('{a}', '{b}')")
+        + f""",
+kmins AS MATERIALIZED (SELECT lang, h FROM ranked WHERE r <= {k}),
+sk AS (
+  SELECT lang, COUNT(*) AS n_seen, MAX(CASE WHEN r = {k} THEN h END) AS kth
+  FROM ranked WHERE r <= {k} GROUP BY lang
+),
+ea AS (SELECT {est} AS est_a FROM sk WHERE lang = '{a}'),
+eb AS (SELECT {est} AS est_b FROM sk WHERE lang = '{b}'),
+merged AS (
+  SELECT h, MAX(CASE WHEN lang = '{a}' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN lang = '{b}' THEN 1 ELSE 0 END) AS in_b
+  FROM kmins GROUP BY h
+),
+topu AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS r FROM merged
+  ) WHERE r <= {k}
+),
+us AS (
+  SELECT COUNT(*) AS n_seen, MAX(CASE WHEN r = {k} THEN h END) AS kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM topu
+)
+SELECT ea.est_a, eb.est_b, {est} AS est_union,
+       ROUND(n_both * 1.0 / n_seen * ({est}), 4) AS est_intersection
+FROM us, ea, eb"""
+    )
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_TOP_K = 32
@@ -4031,6 +4140,8 @@ _DATAPIPE_QUERIES = {
     "text_tfidf_similar": q_text_tfidf_similar,
     "text_collocations": q_text_collocations,
     "text_heavy_hitters": q_text_heavy_hitters,
+    "docs_kmv_distinct": q_docs_kmv_distinct,
+    "docs_kmv_setops": q_docs_kmv_setops,
     "orders_assoc_rules": q_orders_assoc_rules,
     "events_scd2": q_events_scd2,
     "orders_salted_join": q_orders_salted_join,
@@ -4302,6 +4413,8 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "docs_stratified_sample": _stratified_sample_sql(),
     "docs_weighted_sample": _weighted_sample_sql(),
     "text_heavy_hitters": _heavy_hitters_sql(),
+    "docs_kmv_distinct": _kmv_distinct_sql(),
+    "docs_kmv_setops": _kmv_setops_sql(),
     "orders_assoc_rules": _ASSOC_SQL,
     "events_scd2": _SCD2_SQL,
     "orders_salted_join": _SALTED_JOIN_SQL,

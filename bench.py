@@ -163,6 +163,8 @@ def _extra_benches(spark) -> dict[str, float]:
                     "tpch_q18",
                     "lineitem_approx_percentiles",
                     "docs_weighted_sample",
+                    "docs_kmv_distinct",
+                    "docs_kmv_setops",
                     "part_record_linkage",
                     "graph_louvain",
                     "events_temporal_graph",

@@ -42,6 +42,11 @@ from motive_spark.datapipe.temporal import (
     sessionize,
 )
 from motive_spark.datapipe.assoc import association_rules
+from motive_spark.datapipe.cardinality import (
+    kmv_distinct,
+    kmv_set_ops,
+    kmv_sketch,
+)
 from motive_spark.datapipe.linkage import blocked_link_pairs
 from motive_spark.datapipe.skew import (
     bloom_bits,
@@ -89,6 +94,9 @@ __all__ = [
     "bm25_topk",
     "tfidf_similar_docs",
     "association_rules",
+    "kmv_sketch",
+    "kmv_distinct",
+    "kmv_set_ops",
     "incremental_dedup",
     "blocked_link_pairs",
     "salted_join",

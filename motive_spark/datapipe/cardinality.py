@@ -173,3 +173,151 @@ def random_projection(
         .agg(F.sum(F.col("xq") * F.col("s")).alias("y_q"))
         .withColumnRenamed("id", id_col)
     )
+
+
+# 16^15: the normalizing denominator for a 15-hex-digit md5 prefix —
+# exactly representable (2^60), so hash/16^15 is one exact IEEE divide
+_KMV_DEN = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """K-minimum-values (theta-style) sketch per group: the k
+    lexicographically smallest md5 digests of the group's DISTINCT
+    keys (a string min-k IS a minhash — the repo-wide md5 ordering
+    trick).  Returns (group, kmin: array<string> ascending, n_seen:
+    sketch size).  Unlike HLL, KMV sketches support SET OPERATIONS:
+    the k-min of a union is the k-min of the merged sketches, and
+    intersections estimate via membership inside the union sketch.
+
+    Built as one distinct + one grouped min-k (window bounded by k per
+    group after a per-partition pre-prune at true scale); state is k
+    digests per group."""
+    if k < 2:
+        raise ValueError("kmv_sketch: k must be >= 2")
+    hashed = df.select(
+        F.col(group_col).alias("g"),
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+    ).dropDuplicates(["g", "h"])
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("_r", F.row_number().over(win))
+        .where(F.col("_r") <= k)
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmin"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+    )
+
+
+def _kmv_estimate_expr(kmin, n_seen, k: int):
+    """Distinct estimate from a sketch: exact when the group has fewer
+    than k distinct keys; else (k-1)/u_k with u_k the k-th smallest
+    normalized hash — both operands exact, so the divide is
+    bit-identical cross-engine.  Rounded to 4 dp."""
+    u_k = (
+        F.conv(F.substring(F.element_at(kmin, k), 1, 15), 16, 10).cast(
+            "long"
+        )
+        / F.lit(_KMV_DEN)
+    )
+    return F.round(
+        F.when(n_seen < k, n_seen.cast("double")).otherwise(
+            F.lit(float(k - 1)) / u_k
+        ),
+        4,
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = 64
+) -> DataFrame:
+    """(group, est_distinct, sketch_size): KMV distinct-count estimate
+    per group (~1/sqrt(k-2) relative error)."""
+    sk = kmv_sketch(df, group_col, key_col, k)
+    return sk.select(
+        group_col,
+        _kmv_estimate_expr(F.col("kmin"), F.col("n_seen"), k).alias(
+            "est_distinct"
+        ),
+        F.col("n_seen").alias("sketch_size"),
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a,
+    group_b,
+    k: int = 64,
+) -> DataFrame:
+    """One row estimating |A|, |B|, |A∪B|, |A∩B| for two groups' key
+    sets from their KMV sketches only: the union sketch is the k-min
+    of the merged digests; the intersection estimate is (matches in
+    the union sketch belonging to both) / k × est_union (the standard
+    theta-sketch a-priori estimator).  Columns: est_a, est_b,
+    est_union, est_intersection."""
+    sk = kmv_sketch(
+        df.where(F.col(group_col).isin([group_a, group_b])),
+        group_col,
+        key_col,
+        k,
+    ).cache()
+    a = sk.where(F.col(group_col) == group_a)
+    b = sk.where(F.col(group_col) == group_b)
+    est_a = a.select(
+        _kmv_estimate_expr(F.col("kmin"), F.col("n_seen"), k).alias("est_a")
+    )
+    est_b = b.select(
+        _kmv_estimate_expr(F.col("kmin"), F.col("n_seen"), k).alias("est_b")
+    )
+    merged = (
+        a.select(F.explode("kmin").alias("h"), F.lit(1).alias("in_a"))
+        .unionByName(
+            b.select(F.explode("kmin").alias("h"), F.lit(1).alias("in_b")),
+            allowMissingColumns=True,
+        )
+        .groupBy("h")
+        .agg(
+            F.max(F.coalesce("in_a", F.lit(0))).alias("in_a"),
+            F.max(F.coalesce("in_b", F.lit(0))).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.orderBy("h")
+    topu = merged.withColumn("_r", F.row_number().over(win)).where(
+        F.col("_r") <= k
+    )
+    ustats = topu.agg(
+        F.sort_array(F.collect_list("h")).alias("kmin"),
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("long")
+        ).alias("n_both"),
+    )
+    out = (
+        ustats.select(
+            _kmv_estimate_expr(F.col("kmin"), F.col("n_seen"), k).alias(
+                "est_union"
+            ),
+            "n_both",
+            "n_seen",
+        )
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("n_both") / F.col("n_seen") * F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+    )
+    return out

@@ -1010,3 +1010,27 @@ def test_bloom_semi_join_no_false_negatives(spark):
             assert got == true_keys  # wide filter: exact
         else:
             assert len(got) >= len(true_keys)  # tiny filter: FPs allowed
+
+
+def test_kmv_sketch_accuracy_and_setops(spark):
+    """KMV: exact below k; ~1/sqrt(k) relative error above; union and
+    intersection estimates near truth on known overlapping sets."""
+    from motive_spark.datapipe import kmv_distinct, kmv_set_ops
+
+    # group A: 1000 distinct keys; group B: 600, overlapping 300
+    rows = [("a", f"k{i}") for i in range(1000)] + [
+        ("b", f"k{i}") for i in range(700, 1300)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    est = {r.g: r.est_distinct for r in kmv_distinct(df, "g", "key", k=256).collect()}
+    assert abs(est["a"] - 1000) / 1000 < 0.25, est
+    assert abs(est["b"] - 600) / 600 < 0.25, est
+    # below-k groups are exact
+    small = spark.createDataFrame(
+        [("s", f"x{i}") for i in range(10)], "g string, key string"
+    )
+    got = kmv_distinct(small, "g", "key", k=64).collect()[0]
+    assert got.est_distinct == 10.0 and got.sketch_size == 10
+    ops = kmv_set_ops(df, "g", "key", "a", "b", k=256).collect()[0]
+    assert abs(ops.est_union - 1300) / 1300 < 0.25, ops
+    assert abs(ops.est_intersection - 300) / 300 < 0.45, ops
