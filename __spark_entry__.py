@@ -3268,12 +3268,12 @@ def q_docs_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest md5 digests of each language's token set; exact below k,
     (k-1)/u_k above — every operand exact, so the oracle replays the
     estimate to the rounded digit."""
-    from motive_spark.datapipe import kmv_distinct
+    from motive_spark.datapipe import kmv_distinct, word_ngrams
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "lang", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
+    toks = word_ngrams(docs.select("doc_id", "text"), 2).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("lang", F.col("gram").alias("token"))
     return kmv_distinct(toks, "lang", "token", k=KMV_K).orderBy("lang")
 
 
@@ -3282,30 +3282,39 @@ def q_docs_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     token sets estimated from the two KMV sketches alone (union = merged
     k-min; intersection = both-membership rate inside the union
     sketch × union estimate)."""
-    from motive_spark.datapipe import kmv_set_ops
+    from motive_spark.datapipe import kmv_set_ops, word_ngrams
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "lang", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
+    toks = word_ngrams(docs.select("doc_id", "text"), 2).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("lang", F.col("gram").alias("token"))
     return kmv_set_ops(
         toks, "lang", "token", KMV_LANG_A, KMV_LANG_B, k=KMV_K
     )
 
 
 def _kmv_sketch_sql(lang_filter: str = "") -> str:
-    """Shared CTE body: per-language ascending distinct-digest lists."""
-    return f"""
+    """Shared CTE body: per-language ascending distinct-digest lists
+    over word BIGRAMS (the per-language vocabulary is only ~31 words;
+    bigrams give ~900 distinct keys per language, so the contract
+    exercises the (k-1)/u_k estimator branch, not just the exact
+    below-k path).  Grams match dedup.word_ngrams / _grams_sql(2)."""
+    return (
+        _GRAM_SQL
+        + ","
+        + _grams_sql(2)
+        + f""",
 toksk AS MATERIALIZED (
-  SELECT DISTINCT lang, md5(w) AS h FROM (
-    SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
-  ) WHERE w <> '' {lang_filter}
+  SELECT DISTINCT d.lang, md5(g.gram) AS h
+  FROM grams g JOIN documents d USING (doc_id)
+  WHERE 1 = 1 {lang_filter}
 ),
 ranked AS (
   SELECT lang, h,
          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
   FROM toksk
 )"""
+    )
 
 
 _KMV_EST = (
