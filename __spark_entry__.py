@@ -1680,6 +1680,34 @@ c{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def q_graph_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph coarsening: the co-purchase graph contracted by its
+    3-round Louvain assignment — community-level edge list with
+    integer weights, intra-community mass kept as self-loops (what a
+    weighted second Louvain level consumes)."""
+    from motive_spark.kernels import contract_graph, louvain_refine
+
+    und = _und(spark, sf_dir)
+    comm = louvain_refine(und, rounds=LOUVAIN_ROUNDS)
+    return contract_graph(und, comm).orderBy("src", "dst")
+
+
+def _contracted_sql(rounds: int = LOUVAIN_ROUNDS) -> str:
+    # strip _louvain_sql's final SELECT, append the contraction agg
+    body = _louvain_sql(rounds)
+    body = body[: body.rindex("\nSELECT id, comm AS community")]
+    return (
+        body
+        + f"""
+SELECT LEAST(a.comm, b.comm) AS src, GREATEST(a.comm, b.comm) AS dst,
+       COUNT(*) AS w
+FROM und e
+JOIN c{rounds} a ON a.id = e.src
+JOIN c{rounds} b ON b.id = e.dst
+GROUP BY 1, 2 ORDER BY src, dst"""
+    )
+
+
 def q_triangle_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.kernels import triangle_count
 
@@ -1726,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": q_graph_node2vec_walks,
         "graph_modularity": q_graph_modularity,
         "graph_louvain": q_graph_louvain,
+        "graph_contracted": q_graph_contracted,
         "graph_coloring": q_graph_coloring,
         "graph_betweenness": q_graph_betweenness,
         "graph_hyperball": q_graph_hyperball,
@@ -1840,6 +1869,7 @@ s0 AS (
         "graph_node2vec_walks": _node2vec_sql(),
         "graph_modularity": _modularity_sql(),
         "graph_louvain": _louvain_sql(),
+        "graph_contracted": _contracted_sql(),
         "graph_coloring": _coloring_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_hyperball": _hyperball_sql(),

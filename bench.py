@@ -167,6 +167,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "docs_kmv_setops",
                     "part_record_linkage",
                     "graph_louvain",
+                    "graph_contracted",
                     "events_temporal_graph",
                     "stream_late_data",
                     "orders_assoc_rules",

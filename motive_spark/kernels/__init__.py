@@ -8,7 +8,7 @@ from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.msf import boruvka_msf
 from motive_spark.kernels.articulation import articulation_points
 from motive_spark.kernels.bridges import bridges
-from motive_spark.kernels.louvain import louvain_refine
+from motive_spark.kernels.louvain import contract_graph, louvain_refine
 from motive_spark.kernels.labelprop import (
     label_propagation,
     seeded_label_propagation,
@@ -44,6 +44,7 @@ __all__ = [
     "harmonic_centrality",
     "label_propagation",
     "louvain_refine",
+    "contract_graph",
     "bridges",
     "articulation_points",
     "seeded_label_propagation",

@@ -131,3 +131,41 @@ def louvain_refine(edges: DataFrame, rounds: int = 3) -> DataFrame:
     sym.unpersist()
     deg.unpersist()
     return comm.select("id", F.col("comm").alias("community"))
+
+
+def contract_graph(
+    edges: DataFrame, assignment: DataFrame, keep_self_loops: bool = True
+) -> DataFrame:
+    """Coarsen a graph by a vertex→community assignment (the Louvain
+    level-2 / multilevel-partitioning primitive): every edge maps to
+    its endpoint communities and parallel edges collapse into an
+    integer weight.  Returns canonical (src, dst, w) with src <= dst;
+    ``keep_self_loops`` retains intra-community edges as self-loops
+    (their weight is the community's internal edge count — what a
+    weighted second Louvain level consumes).
+
+    Plan: two joins of the edge list against the (id, community)
+    table (shuffle on id — the edge side can stay put when assignment
+    is broadcastable) + one map-side-combinable groupBy.  Coarsening
+    typically shrinks |V| by orders of magnitude, so downstream levels
+    run on broadcast-size graphs.
+    """
+    amap = assignment.select(
+        F.col("id").alias("_aid"), F.col("community").alias("_c")
+    )
+    mapped = (
+        edges.select("src", "dst")
+        .join(amap.withColumnRenamed("_aid", "src"), "src")
+        .withColumnRenamed("_c", "_cs")
+        .join(amap.withColumnRenamed("_aid", "dst"), "dst")
+        .withColumnRenamed("_c", "_cd")
+        .select(
+            F.least("_cs", "_cd").alias("src"),
+            F.greatest("_cs", "_cd").alias("dst"),
+        )
+    )
+    if not keep_self_loops:
+        mapped = mapped.where(F.col("src") != F.col("dst"))
+    return mapped.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
+    )

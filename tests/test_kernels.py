@@ -1726,3 +1726,21 @@ def test_articulation_points_random(spark):
             r.id for r in articulation_points(edges_df(spark, pairs)).collect()
         }
         assert got == py_articulation(pairs), (trial, pairs)
+
+
+def test_contract_graph_semantics(spark):
+    from motive_spark.kernels import contract_graph
+
+    edges = edges_df(spark, [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5)])
+    comm = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "id long, community long",
+    )
+    got = {(r.src, r.dst): r.w for r in contract_graph(edges, comm).collect()}
+    # intra edges (1,2),(2,3),(1,3) -> self loop w=3; (3,4) crosses; (4,5) intra
+    assert got == {(10, 10): 3, (10, 40): 1, (40, 40): 1}
+    no_loops = {
+        (r.src, r.dst): r.w
+        for r in contract_graph(edges, comm, keep_self_loops=False).collect()
+    }
+    assert no_loops == {(10, 40): 1}
