@@ -3178,6 +3178,53 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1"""
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per
+    user, consecutive event-type pairs under deterministic (ts,
+    event_id) order; P(next|cur) as one exact-integer ratio rounded to
+    6 dp.  One shuffle on user, one bounded window, one groupBy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(tot, "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT cur, nxt, COUNT(*) AS n FROM (
+    SELECT event_type AS cur,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM pairs GROUP BY 1)
+SELECT p.cur, p.nxt, CAST(p.n AS BIGINT) AS n,
+       ROUND(p.n * 1.0 / t.tot, 6) AS p
+FROM pairs p JOIN tot t USING (cur) ORDER BY cur, nxt"""
+
+
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 intervals from the event change log: per user the
     event_type attribute's validity windows, no-op updates collapsed,
@@ -4140,9 +4187,56 @@ LEFT JOIN cop USING (win_start)
 ORDER BY win_start"""
 
 
+def q_events_windowed_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day connected components of the user↔item interaction
+    snapshots, all 30 days solved in ONE hash-min kernel run via
+    composite (day, vertex) ids — per-snapshot fragmentation summary."""
+    from motive_spark.graph import windowed_components, windowed_edges
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wedges = windowed_edges(
+        ev,
+        "ts",
+        F.col("user_id").cast("long"),
+        F.get_json_object("props", "$.k").cast("long"),
+        "1 day",
+    )
+    return windowed_components(wedges).orderBy("win_start")
+
+
+_WINDOWED_COMPONENTS_SQL = """
+WITH RECURSIVE we AS MATERIALIZED (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS w,
+         CAST(user_id AS BIGINT) AS src,
+         CAST(props->>'$.k' AS BIGINT) + 2147483648 AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND (props->>'$.k') IS NOT NULL
+),
+wsym AS MATERIALIZED (
+  SELECT w, src, dst FROM we
+  UNION ALL SELECT w, dst AS src, src AS dst FROM we
+),
+reach(w, id, m) AS (
+  SELECT w, src AS id, src AS m FROM wsym
+  UNION
+  SELECT s.w, s.dst AS id, r.m
+  FROM wsym s JOIN reach r ON s.w = r.w AND s.src = r.id
+),
+comp AS (SELECT w, id, MIN(m) AS c FROM reach GROUP BY 1, 2),
+sizes AS (SELECT w, c, COUNT(*) AS sz FROM comp GROUP BY 1, 2)
+SELECT w AS win_start,
+       CAST(SUM(sz) AS BIGINT) AS n_vertices,
+       COUNT(*) AS n_components,
+       CAST(MAX(sz) AS BIGINT) AS max_component
+FROM sizes GROUP BY 1 ORDER BY 1"""
+
+
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "events_temporal_graph": q_events_temporal_graph,
+    "events_windowed_components": q_events_windowed_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
@@ -4183,6 +4277,7 @@ _DATAPIPE_QUERIES = {
     "docs_kmv_setops": q_docs_kmv_setops,
     "orders_assoc_rules": q_orders_assoc_rules,
     "events_scd2": q_events_scd2,
+    "events_transitions": q_events_transitions,
     "orders_salted_join": q_orders_salted_join,
     "orders_bloom_prune": q_orders_bloom_prune,
     "text_contamination": q_text_contamination,
@@ -4437,6 +4532,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1""",
     "events_temporal_graph": _TEMPORAL_GRAPH_SQL,
+    "events_windowed_components": _WINDOWED_COMPONENTS_SQL,
     "events_props_json": """
 SELECT CAST(props->>'$.k' AS BIGINT) AS k,
        COUNT(*) AS n_events,
@@ -4456,6 +4552,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "docs_kmv_setops": _kmv_setops_sql(),
     "orders_assoc_rules": _ASSOC_SQL,
     "events_scd2": _SCD2_SQL,
+    "events_transitions": _TRANSITIONS_SQL,
     "orders_salted_join": _SALTED_JOIN_SQL,
     "orders_bloom_prune": _bloom_prune_sql(),
     "part_record_linkage": _LINKAGE_SQL,

@@ -169,6 +169,8 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_louvain",
                     "graph_contracted",
                     "events_temporal_graph",
+                    "events_windowed_components",
+                    "events_transitions",
                     "stream_late_data",
                     "orders_assoc_rules",
                     "events_scd2",

@@ -4,6 +4,7 @@ from motive_spark.graph.features import (
 )
 from motive_spark.graph.gml import read_gml, write_gml
 from motive_spark.graph.temporal import (
+    windowed_components,
     windowed_copair_count,
     windowed_edges,
     windowed_graph_metrics,
@@ -30,6 +31,7 @@ __all__ = [
     "windowed_edges",
     "windowed_graph_metrics",
     "windowed_copair_count",
+    "windowed_components",
     "normalize_ids",
     "simplify",
     "degrees",

@@ -1744,3 +1744,25 @@ def test_contract_graph_semantics(spark):
         for r in contract_graph(edges, comm, keep_self_loops=False).collect()
     }
     assert no_loops == {(10, 40): 1}
+
+
+def test_windowed_components_isolation(spark):
+    """Snapshots are solved jointly but NEVER merge across windows:
+    identical edges on two days yield two independent component sets."""
+    from motive_spark.graph import windowed_components, windowed_edges
+
+    rows = [
+        ("2024-01-01 01:00:00", 1, 10),
+        ("2024-01-01 02:00:00", 2, 10),   # day1: {1,2,i10} one comp
+        ("2024-01-01 02:30:00", 3, 99),   # day1: {3,i99} second comp
+        ("2024-01-02 01:00:00", 1, 10),   # day2: {1,i10} only
+    ]
+    ev = spark.createDataFrame(rows, "ts string, u long, i long").select(
+        F.to_timestamp("ts").alias("ts"), "u", "i"
+    )
+    we = windowed_edges(ev, "ts", F.col("u"), F.col("i"), "1 day")
+    got = {r.win_start: r for r in windowed_components(we).collect()}
+    d1 = got["2024-01-01"]
+    assert (d1.n_vertices, d1.n_components, d1.max_component) == (5, 2, 3)
+    d2 = got["2024-01-02"]
+    assert (d2.n_vertices, d2.n_components, d2.max_component) == (2, 1, 2)
