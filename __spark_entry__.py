@@ -2743,6 +2743,35 @@ FROM aggd, gmax WHERE wend <= gmax.mx - INTERVAL 72 HOURS
 ORDER BY window_start"""
 
 
+SSJ_WINDOW = "30 minutes"
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-stream inner join: even- and odd-id event halves arrive as
+    two watermarked streams, joined on user within ±30 min event time;
+    an inner time-bounded join's matched set is batch-boundary
+    independent, so the oracle replays it as one static join."""
+    from motive_spark.streaming import stream_stream_join_counts
+
+    return stream_stream_join_counts(
+        spark, f"{sf_dir}/events.parquet", window=SSJ_WINDOW
+    ).orderBy("user_id")
+
+
+_STREAM_STREAM_SQL = """
+SELECT a.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(round(a.value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY 1 ORDER BY 1"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming prefix-fingerprint dedup groups: readStream
     over documents.parquet, stateful complete-mode aggregation drained
@@ -4258,6 +4287,7 @@ _DATAPIPE_QUERIES = {
     "motif_planted_factors": q_motif_planted_factors,
     "stream_dedup": q_stream_dedup,
     "stream_late_data": q_stream_late_data,
+    "stream_stream_join": q_stream_stream_join,
     "stream_enrich": q_stream_enrich,
     "events_sessionize": q_events_sessionize,
     "events_funnel": q_events_funnel,
@@ -4463,6 +4493,7 @@ GROUP BY p.doc_id, p.n ORDER BY p.doc_id""",
     "dedup_simhash": _simhash_sql(),
     # streaming drain == batch GROUP BY: same key, same aggregates
     "stream_late_data": _STREAM_LATE_SQL,
+    "stream_stream_join": _STREAM_STREAM_SQL,
     "stream_dedup": """
 SELECT md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS content_key,
        COUNT(*) AS n_docs,

@@ -172,6 +172,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "events_windowed_components",
                     "events_transitions",
                     "stream_late_data",
+                    "stream_stream_join",
                     "orders_assoc_rules",
                     "events_scd2",
                     "orders_salted_join",

@@ -432,3 +432,87 @@ def stream_late_data_windowed_counts(
     q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)
+
+
+def stream_stream_join_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM inner join, drained exactly-once: the even-id and
+    odd-id halves of the event table arrive as two independent
+    watermarked streams and join on user within ±``window`` event
+    time.  Each side is staged as ONE file, so the drain is a single
+    micro-batch per side: every pair meets its partner before any
+    watermark eviction can run, and the drained result equals the
+    static time-conditioned join — the DuckDB-replayable gate for the
+    stateful dual-stream operator.  (Across MULTIPLE batches an inner
+    time-bounded join is still exactly-once for pairs within the
+    watermark, but rows arriving later than the 10-minute watermark
+    could lose matches to state cleanup — the unbounded-stream
+    trade-off, same as the late-data contract documents.)
+
+    Returns (user_id, n_pairs, sum_value_cents) where sum is over the
+    even-side value of each matched pair.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = spark.read.parquet(events_path)
+    src_a = tempfile.mkdtemp(prefix="ssj_a_", dir=_drain_root())
+    src_b = tempfile.mkdtemp(prefix="ssj_b_", dir=_drain_root())
+    for src, half in (
+        (src_a, ev.where(F.pmod("event_id", F.lit(2)) == 0)),
+        (src_b, ev.where(F.pmod("event_id", F.lit(2)) == 1)),
+    ):
+        d = tempfile.mkdtemp(prefix="ssj_w_", dir=_drain_root())
+        half.coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, part), os.path.join(src, "000.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+
+    def side(path, tag):
+        s = spark.readStream.schema(ev.schema).parquet(path)
+        return s.select(
+            F.col("user_id").alias(f"{tag}_user"),
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("ts").cast("timestamp").alias(f"{tag}_ts"),
+            F.round(F.col("value") * 100).cast("long").alias(f"{tag}_cents"),
+        ).withWatermark(f"{tag}_ts", "10 minutes")
+
+    a, b = side(src_a, "a"), side(src_b, "b")
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.expr(f"a_ts - INTERVAL {window}"))
+        & (F.col("b_ts") <= F.expr(f"a_ts + INTERVAL {window}")),
+        "inner",
+    )
+    out_dir = tempfile.mkdtemp(prefix="ssj_out_", dir=_drain_root())
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_", dir=_drain_root())
+    pairs_schema = joined.schema
+    spark.createDataFrame([], pairs_schema).write.mode("overwrite").parquet(
+        out_dir
+    )
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("a_cents").alias("sum_value_cents"),
+        )
+    )

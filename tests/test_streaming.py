@@ -397,3 +397,43 @@ def test_stream_late_data_three_regimes(spark, tmp_path):
         "2024-01-01": 1,   # backfill row dropped (window evicted at wm0)
         "2024-01-05": 2,   # backfill row merged (window still live)
     }
+
+
+def test_stream_stream_join_matches_static(spark, tmp_path):
+    """The drained dual-stream join equals the static time-bounded
+    join on a hand-built fixture (inner matches inside ±window only)."""
+    from pyspark.sql import functions as F
+
+    from motive_spark.streaming import stream_stream_join_counts
+
+    rows = [
+        # even ids = stream A, odd = stream B
+        (0, "2024-01-01 10:00:00", 1, 10.0),
+        (1, "2024-01-01 10:20:00", 1, 99.0),   # matches 0 (within 30m)
+        (3, "2024-01-01 11:00:00", 1, 99.0),   # outside 30m of 0
+        (2, "2024-01-01 12:00:00", 2, 5.0),
+        (5, "2024-01-01 12:29:00", 2, 1.0),    # matches 2
+        (7, "2024-01-01 12:30:00", 2, 1.0),    # boundary: still matches
+        (4, "2024-01-01 09:00:00", 3, 7.0),    # no odd partner
+    ]
+    src = str(tmp_path / "ev.parquet")
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        )
+        .select(
+            "event_id",
+            F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "value",
+        )
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    got = {
+        r.user_id: (r.n_pairs, r.sum_value_cents)
+        for r in stream_stream_join_counts(
+            spark, src, window="30 minutes"
+        ).collect()
+    }
+    assert got == {1: (1, 1000), 2: (2, 1000)}
