@@ -1680,6 +1680,97 @@ c{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+LOUVAIN2_ROUNDS = 3
+
+
+def q_graph_louvain2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel Louvain: 3 synchronous rounds on the raw graph,
+    contraction (intra mass as self-loops), 3 weighted rounds on the
+    coarse graph, supernode labels mapped back to every vertex — the
+    full Blondel multilevel shape, deterministic at each step."""
+    from motive_spark.kernels import louvain_multilevel
+
+    return louvain_multilevel(
+        _und(spark, sf_dir),
+        rounds1=LOUVAIN_ROUNDS,
+        rounds2=LOUVAIN2_ROUNDS,
+    ).orderBy("id")
+
+
+def _louvain2_sql(
+    r1: int = LOUVAIN_ROUNDS, r2: int = LOUVAIN2_ROUNDS
+) -> str:
+    body = _louvain_sql(r1)
+    body = body[: body.rindex("\nSELECT id, comm AS community")]
+    parts = [
+        body,
+        f""",
+cw AS MATERIALIZED (
+  SELECT LEAST(a.comm, b.comm) AS src, GREATEST(a.comm, b.comm) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM und e
+  JOIN c{r1} a ON a.id = e.src
+  JOIN c{r1} b ON b.id = e.dst
+  GROUP BY 1, 2
+),
+csym AS MATERIALIZED (
+  SELECT src, dst, w FROM cw WHERE src <> dst
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM cw WHERE src <> dst
+),
+kw AS MATERIALIZED (
+  SELECT id, CAST(SUM(w) AS BIGINT) AS k FROM (
+    SELECT src AS id, w FROM csym
+    UNION ALL SELECT src AS id, 2 * w AS w FROM cw WHERE src = dst
+  ) GROUP BY 1
+),
+m2w AS (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM kw),
+wc0 AS MATERIALIZED (SELECT id, id AS comm FROM kw)""",
+    ]
+    for t in range(1, r2 + 1):
+        p = f"wc{t - 1}"
+        parts.append(
+            f""",
+wkt{t} AS MATERIALIZED (
+  SELECT c.comm, CAST(SUM(kw.k) AS BIGINT) AS ktot
+  FROM {p} c JOIN kw ON kw.id = c.id GROUP BY 1
+),
+wcand{t} AS (
+  SELECT id, cand, CAST(SUM(kic) AS BIGINT) AS kic FROM (
+    SELECT e.src AS id, c.comm AS cand, e.w AS kic
+    FROM csym e JOIN {p} c ON c.id = e.dst
+    UNION ALL SELECT id, comm AS cand, 0 AS kic FROM {p}
+  ) GROUP BY 1, 2
+),
+wsc{t} AS (
+  SELECT a.id, a.cand,
+         m2w.m2 * a.kic
+           - kw.k * (kt.ktot
+                     - CASE WHEN own.comm = a.cand THEN kw.k ELSE 0 END)
+           AS gain
+  FROM wcand{t} a
+  JOIN kw ON kw.id = a.id
+  JOIN {p} own ON own.id = a.id
+  JOIN wkt{t} kt ON kt.comm = a.cand
+  CROSS JOIN m2w
+),
+wc{t} AS MATERIALIZED (
+  SELECT id, cand AS comm FROM (
+    SELECT id, cand, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY gain DESC, cand ASC) AS rn
+    FROM wsc{t}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v.id, w.comm AS community
+FROM c{r1} v JOIN wc{r2} w ON w.id = v.comm
+ORDER BY v.id"""
+    )
+    return "".join(parts)
+
+
 def q_graph_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph coarsening: the co-purchase graph contracted by its
     3-round Louvain assignment — community-level edge list with
@@ -1755,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "graph_louvain": q_graph_louvain,
         "graph_contracted": q_graph_contracted,
+        "graph_louvain2": q_graph_louvain2,
         "graph_coloring": q_graph_coloring,
         "graph_betweenness": q_graph_betweenness,
         "graph_hyperball": q_graph_hyperball,
@@ -1870,6 +1962,7 @@ s0 AS (
         "graph_modularity": _modularity_sql(),
         "graph_louvain": _louvain_sql(),
         "graph_contracted": _contracted_sql(),
+        "graph_louvain2": _louvain2_sql(),
         "graph_coloring": _coloring_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_hyperball": _hyperball_sql(),

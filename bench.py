@@ -168,6 +168,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "part_record_linkage",
                     "graph_louvain",
                     "graph_contracted",
+                    "graph_louvain2",
                     "events_temporal_graph",
                     "events_windowed_components",
                     "events_transitions",

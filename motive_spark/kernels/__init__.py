@@ -8,7 +8,12 @@ from motive_spark.kernels.ktruss import k_truss
 from motive_spark.kernels.msf import boruvka_msf
 from motive_spark.kernels.articulation import articulation_points
 from motive_spark.kernels.bridges import bridges
-from motive_spark.kernels.louvain import contract_graph, louvain_refine
+from motive_spark.kernels.louvain import (
+    contract_graph,
+    louvain_multilevel,
+    louvain_refine,
+    louvain_refine_weighted,
+)
 from motive_spark.kernels.labelprop import (
     label_propagation,
     seeded_label_propagation,
@@ -45,6 +50,8 @@ __all__ = [
     "label_propagation",
     "louvain_refine",
     "contract_graph",
+    "louvain_refine_weighted",
+    "louvain_multilevel",
     "bridges",
     "articulation_points",
     "seeded_label_propagation",

@@ -169,3 +169,128 @@ def contract_graph(
     return mapped.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("w")
     )
+
+
+def louvain_refine_weighted(
+    edges_w: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Weighted synchronous Louvain local moves over a canonical
+    (src <= dst, w) edge list — the LEVEL-2 consumer of
+    ``contract_graph``: self-loops carry intra-community mass (a
+    self-loop of weight w adds 2w to its vertex's weighted degree and
+    never contributes to k_iC), and the same integer 2m²-scaled gain
+    decides every move exactly."""
+    if rounds < 1:
+        raise ValueError("louvain_refine_weighted: rounds must be >= 1")
+    spark = edges_w.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    base = edges_w.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w")).cache()
+    csym = (
+        base.where(F.col("src") != F.col("dst"))
+        .unionByName(
+            base.where(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .repartition(npart, "dst")
+        .cache()
+    )
+    deg = (
+        csym.select(F.col("src").alias("id"), "w")
+        .unionByName(
+            base.where(F.col("src") == F.col("dst")).select(
+                F.col("src").alias("id"), (F.col("w") * 2).alias("w")
+            )
+        )
+        .groupBy("id")
+        .agg(F.sum("w").alias("k"))
+        .cache()
+    )
+    m2 = deg.agg(F.sum("k")).collect()[0][0] or 0
+
+    comm = deg.select("id", F.col("id").alias("comm"))
+    for _ in range(rounds):
+        ktot = (
+            comm.join(deg, "id").groupBy("comm").agg(F.sum("k").alias("ktot"))
+        )
+        nbr = (
+            csym.join(
+                comm.hint("shuffle_hash").select(
+                    F.col("id").alias("_nid"), F.col("comm").alias("cand")
+                ),
+                csym.dst == F.col("_nid"),
+            )
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.sum("w").alias("kic"))
+        )
+        cand = nbr.unionByName(
+            comm.select(
+                "id", F.col("comm").alias("cand"), F.lit(0).alias("kic")
+            )
+        )
+        scored = (
+            cand.groupBy("id", "cand")
+            .agg(F.sum("kic").alias("kic"))
+            .join(deg, "id")
+            .join(comm.select("id", F.col("comm").alias("own")), "id")
+            .join(ktot.select(F.col("comm").alias("cand"), "ktot"), "cand")
+            .select(
+                "id",
+                "cand",
+                (
+                    F.lit(m2) * F.col("kic")
+                    - F.col("k")
+                    * (
+                        F.col("ktot")
+                        - F.when(
+                            F.col("own") == F.col("cand"), F.col("k")
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias("gain"),
+            )
+        )
+        comm = (
+            scored.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("gain"), (-F.col("cand")).alias("neg"))
+                ).alias("top")
+            )
+            .select("id", (-F.col("top.neg")).alias("comm"))
+            .repartition(npart, "id")
+            .localCheckpoint()
+        )
+    base.unpersist()
+    csym.unpersist()
+    deg.unpersist()
+    return comm.select("id", F.col("comm").alias("community"))
+
+
+def louvain_multilevel(
+    edges: DataFrame, rounds1: int = 3, rounds2: int = 3
+) -> DataFrame:
+    """Two Louvain levels: refine on the raw graph, contract by the
+    level-1 assignment (intra mass → self-loops), refine the WEIGHTED
+    coarse graph, map every vertex to its supernode's final community.
+    The coarse graph is typically orders of magnitude smaller, so the
+    second level costs a fraction of the first — the full Blondel
+    multilevel shape, deterministic at every step."""
+    l1 = louvain_refine(edges, rounds=rounds1).cache()
+    coarse = contract_graph(edges, l1)
+    l2 = louvain_refine_weighted(coarse, rounds=rounds2)
+    out = (
+        l1.join(
+            l2.select(
+                F.col("id").alias("community"),
+                F.col("community").alias("_c2"),
+            ),
+            "community",
+        )
+        .select("id", F.col("_c2").alias("community"))
+    )
+    return out

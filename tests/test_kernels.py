@@ -1766,3 +1766,82 @@ def test_windowed_components_isolation(spark):
     assert (d1.n_vertices, d1.n_components, d1.max_component) == (5, 2, 3)
     d2 = got["2024-01-02"]
     assert (d2.n_vertices, d2.n_components, d2.max_component) == (2, 1, 2)
+
+
+def py_louvain_weighted_sync(wedges, rounds):
+    """Weighted synchronous Louvain oracle over canonical (src<=dst, w)
+    edges with self-loops."""
+    base: dict = {}
+    for a, b, w in wedges:
+        k = (min(a, b), max(a, b))
+        base[k] = base.get(k, 0) + w
+    nodes = sorted({x for k in base for x in k})
+    nbrs: dict = {i: {} for i in nodes}
+    k = {i: 0 for i in nodes}
+    for (a, b), w in base.items():
+        if a == b:
+            k[a] += 2 * w
+        else:
+            nbrs[a][b] = nbrs[a].get(b, 0) + w
+            nbrs[b][a] = nbrs[b].get(a, 0) + w
+            k[a] += w
+            k[b] += w
+    m2 = sum(k.values())
+    comm = {i: i for i in nodes}
+    for _ in range(rounds):
+        ktot: dict = {}
+        for i in nodes:
+            ktot[comm[i]] = ktot.get(comm[i], 0) + k[i]
+        new = {}
+        for i in nodes:
+            kic = {comm[i]: 0}
+            for j, w in nbrs[i].items():
+                kic[comm[j]] = kic.get(comm[j], 0) + w
+            best = None
+            for c, cw in kic.items():
+                gain = m2 * cw - k[i] * (
+                    ktot[c] - (k[i] if comm[i] == c else 0)
+                )
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            new[i] = best[1]
+        comm = new
+    return comm
+
+
+def test_louvain_weighted_and_multilevel(spark):
+    from motive_spark.kernels import (
+        louvain_multilevel,
+        louvain_refine,
+        louvain_refine_weighted,
+    )
+
+    # weighted refine vs python oracle (self-loops included)
+    wedges = [
+        (1, 1, 6), (2, 2, 6), (1, 2, 1),       # two heavy supernodes
+        (3, 4, 5), (4, 5, 5), (3, 5, 5),        # a weighted triangle
+        (2, 3, 1),
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    for rounds in (1, 3):
+        got = {
+            r.id: r.community
+            for r in louvain_refine_weighted(df, rounds=rounds).collect()
+        }
+        want = py_louvain_weighted_sync(wedges, rounds)
+        assert got == want, (rounds, got, want)
+    # multilevel on two cliques + bridge: level 2 must not merge the
+    # cliques, and every original vertex gets its supernode's label
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = cl1 + cl2 + [(3, 10)]
+    ml = {
+        r.id: r.community
+        for r in louvain_multilevel(
+            edges_df(spark, pairs), rounds1=3, rounds2=3
+        ).collect()
+    }
+    c1 = {ml[i] for i in range(4)}
+    c2 = {ml[i] for i in range(10, 14)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
