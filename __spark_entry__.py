@@ -5109,6 +5109,47 @@ WHERE r_name = '{Q5_REGION}'
 GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"""
 
 
+Q6_DATE_LO = "1995-01-01"
+Q6_DATE_HI = "1996-01-01"
+Q6_DISC_LO = 5   # cents of discount (0.05)
+Q6_DISC_HI = 7
+Q6_QTY = 24
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change (public spec): one scan,
+    every predicate pushed to the parquet reader, one global sum in
+    exact 1e-4 units — the canonical filter-aggregate microbenchmark."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.where(
+            (F.date_format("l_shipdate", "yyyy-MM-dd") >= Q6_DATE_LO)
+            & (F.date_format("l_shipdate", "yyyy-MM-dd") < Q6_DATE_HI)
+            & (disc_c >= Q6_DISC_LO)
+            & (disc_c <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum(ep_c * disc_c).alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_TPCH_Q6_SQL = f"""
+SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_c4,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m-%d') >= '{Q6_DATE_LO}'
+  AND strftime(l_shipdate, '%Y-%m-%d') < '{Q6_DATE_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}"""
+
+
 Q7_NATION_A = "NATION_7"
 Q7_NATION_B = "NATION_17"
 
@@ -5294,6 +5335,7 @@ _RELATIONAL_QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
@@ -5308,6 +5350,7 @@ _RELATIONAL_ORACLES = {
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
+    "tpch_q6": _TPCH_Q6_SQL,
     "tpch_q7": _TPCH_Q7_SQL,
     "tpch_q10": _TPCH_Q10_SQL,
     "tpch_q18": _TPCH_Q18_SQL,

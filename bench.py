@@ -158,6 +158,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "tpch_q1",
                     "tpch_q3",
                     "tpch_q5",
+                    "tpch_q6",
                     "tpch_q7",
                     "tpch_q10",
                     "tpch_q18",
