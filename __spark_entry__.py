@@ -4355,8 +4355,173 @@ SELECT w AS win_start,
 FROM sizes GROUP BY 1 ORDER BY 1"""
 
 
+CODE_N_REPOS = 64
+CODE_IMPORTS = 3
+
+
+def _hex8(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _code_table_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An oracle-replayable code table (repo, path, commit, lang,
+    content) derived from documents via md5 arithmetic: doc i belongs
+    to repo ``i % 64``, gets an md5-chosen language, and its content
+    embeds 3 md5-chosen cross-repo import lines in that language's
+    real syntax, followed by the document text as filler.  The
+    north-rule input shape, reconstructible in DuckDB (the in-library
+    ``tables.synth_code_table`` uses Spark-only xxhash64, so the
+    contract derives its own)."""
+    from motive_spark.tables import _IMPORT_TPL, LANGS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    did = F.col("doc_id").cast("string")
+    rid = F.pmod("doc_id", F.lit(CODE_N_REPOS))
+    lidx = F.pmod(_hex8(F.concat(did, F.lit("|lang"))), F.lit(len(LANGS)))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (lidx + 1).cast("int")
+    )
+    lines = []
+    for j in range(CODE_IMPORTS):
+        t = F.pmod(
+            _hex8(F.concat(did, F.lit(f"|imp{j}"))),
+            F.lit(CODE_N_REPOS - 1),
+        )
+        tf = F.when(t >= rid, t + 1).otherwise(t)
+        mod = F.concat(F.lit("repo_"), tf.cast("string"))
+        per_lang = F.create_map(
+            *[
+                x
+                for l_ in LANGS
+                for x in (
+                    F.lit(l_),
+                    F.concat(
+                        F.lit(_IMPORT_TPL[l_].split("{mod}")[0]),
+                        mod,
+                        F.lit(_IMPORT_TPL[l_].split("{mod}")[1]),
+                    ),
+                )
+            ]
+        )
+        lines.append(per_lang[lang])
+    content = F.concat_ws("\n", *lines, F.col("text"))
+    return docs.select(
+        F.concat(F.lit("repo_"), rid.cast("string")).alias("repo"),
+        did.alias("path"),
+        F.sha2(did, 256).alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def q_code_dependency_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship pipeline end-to-end: code table →
+    Arrow-UDF import extraction → module→repo resolution →
+    (src_repo, dst_repo, n_files) edges.  The oracle derives the SAME
+    expected edges from the md5 generative formula, so the regex
+    extraction + template rendering + resolution + aggregation are all
+    hard-gated (a parse miss is a hash mismatch)."""
+    from motive_spark.extract import repo_edges
+
+    code = _code_table_from_docs(spark, sf_dir)
+    return repo_edges(code).orderBy("src_repo", "dst_repo")
+
+
+_CODE_EDGES_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, doc_id % {CODE_N_REPOS} AS rid FROM documents
+),
+tgts AS (
+  SELECT doc_id, rid,
+         CASE WHEN t >= rid THEN t + 1 ELSE t END AS tgt
+  FROM (
+    SELECT b.doc_id, b.rid, js.j,
+           (('0x' || substr(md5(CAST(b.doc_id AS VARCHAR) || '|imp'
+                                || js.j), 1, 8))::BIGINT)
+             % {CODE_N_REPOS - 1} AS t
+    FROM base b, (VALUES (0), (1), (2)) AS js(j)
+  )
+),
+resolved AS (SELECT DISTINCT doc_id, rid, tgt FROM tgts)
+SELECT 'repo_' || CAST(rid AS VARCHAR) AS src_repo,
+       'repo_' || CAST(tgt AS VARCHAR) AS dst_repo,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_files
+FROM resolved GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_code_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input_hint's per-row invariant, hard-gated: sha256(content)
+    of every generated file must match DuckDB's sha256 over the
+    byte-identical reconstructed content — reported as per-repo
+    (n_files, min sha)."""
+    from motive_spark.extract import with_sha
+
+    code = with_sha(_code_table_from_docs(spark, sf_dir))
+    return (
+        code.groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("content_sha256").alias("min_sha"),
+        )
+        .orderBy("repo")
+    )
+
+
+_CODE_SHA_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, text, doc_id % {CODE_N_REPOS} AS rid,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lang'), 1, 8))
+          ::BIGINT) % 5 AS lidx
+  FROM documents
+),
+tl AS (
+  SELECT *,
+    CASE WHEN t0 >= rid THEN t0 + 1 ELSE t0 END AS g0,
+    CASE WHEN t1 >= rid THEN t1 + 1 ELSE t1 END AS g1,
+    CASE WHEN t2 >= rid THEN t2 + 1 ELSE t2 END AS g2
+  FROM (
+    SELECT *,
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|imp0'), 1, 8))
+       ::BIGINT) % {CODE_N_REPOS - 1} AS t0,
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|imp1'), 1, 8))
+       ::BIGINT) % {CODE_N_REPOS - 1} AS t1,
+      (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|imp2'), 1, 8))
+       ::BIGINT) % {CODE_N_REPOS - 1} AS t2
+    FROM base
+  )
+),
+rendered AS (
+  SELECT rid, doc_id,
+    CASE lidx
+      WHEN 0 THEN 'import repo_' || g0 || chr(10) || 'import repo_' || g1
+                  || chr(10) || 'import repo_' || g2
+      WHEN 1 THEN 'import repo_' || g0 || '.core.Api;' || chr(10)
+                  || 'import repo_' || g1 || '.core.Api;' || chr(10)
+                  || 'import repo_' || g2 || '.core.Api;'
+      WHEN 2 THEN chr(9) || '"repo_' || g0 || '/pkg"' || chr(10)
+                  || chr(9) || '"repo_' || g1 || '/pkg"' || chr(10)
+                  || chr(9) || '"repo_' || g2 || '/pkg"'
+      WHEN 3 THEN 'use repo_' || g0 || '::prelude::*;' || chr(10)
+                  || 'use repo_' || g1 || '::prelude::*;' || chr(10)
+                  || 'use repo_' || g2 || '::prelude::*;'
+      ELSE '#include <repo_' || g0 || '/api.h>' || chr(10)
+           || '#include <repo_' || g1 || '/api.h>' || chr(10)
+           || '#include <repo_' || g2 || '/api.h>'
+    END || chr(10) || text AS content
+  FROM tl
+)
+SELECT 'repo_' || CAST(rid AS VARCHAR) AS repo,
+       COUNT(*) AS n_files,
+       MIN(sha256(content)) AS min_sha
+FROM rendered GROUP BY 1 ORDER BY 1"""
+
+
 _DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "code_dependency_edges": q_code_dependency_edges,
+    "code_sha_invariant": q_code_sha_invariant,
     "events_temporal_graph": q_events_temporal_graph,
     "events_windowed_components": q_events_windowed_components,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4655,6 +4820,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1""",
+    "code_dependency_edges": _CODE_EDGES_SQL,
+    "code_sha_invariant": _CODE_SHA_SQL,
     "events_temporal_graph": _TEMPORAL_GRAPH_SQL,
     "events_windowed_components": _WINDOWED_COMPONENTS_SQL,
     "events_props_json": """

