@@ -4355,6 +4355,101 @@ SELECT w AS win_start,
 FROM sizes GROUP BY 1 ORDER BY 1"""
 
 
+WPR_ITERS = 5
+WPR_DAMPING = 0.85
+WPR_ITEM_OFFSET = 1 << 31
+
+
+def q_events_windowed_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal PageRank: an independent PageRank for EVERY daily
+    interaction snapshot, all 30 converging together in one grouped
+    iteration loop (per-window vertex counts, dangling mass and
+    teleport) — the temporal twin of the flagship kernel."""
+    from motive_spark.graph import windowed_edges
+    from motive_spark.kernels import grouped_pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wedges = windowed_edges(
+        ev,
+        "ts",
+        F.col("user_id").cast("long"),
+        F.get_json_object("props", "$.k").cast("long")
+        + F.lit(WPR_ITEM_OFFSET),
+        "1 day",
+    ).withColumnRenamed("win_start", "g")
+    pr = grouped_pagerank(
+        wedges, "g", damping=WPR_DAMPING, max_iter=WPR_ITERS
+    )
+    return pr.select(
+        F.col("g").alias("win_start"),
+        "id",
+        F.round("rank", 6).alias("rank"),
+    ).orderBy("win_start", "id")
+
+
+def _windowed_pagerank_sql(
+    iters: int = WPR_ITERS, d: float = WPR_DAMPING
+) -> str:
+    parts = [
+        f"""WITH we AS MATERIALIZED (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS w,
+         CAST(user_id AS BIGINT) AS src,
+         CAST(props->>'$.k' AS BIGINT) + {WPR_ITEM_OFFSET} AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND (props->>'$.k') IS NOT NULL
+),
+verts AS (
+  SELECT DISTINCT w, id FROM (
+    SELECT w, src AS id FROM we UNION ALL SELECT w, dst AS id FROM we
+  )
+),
+od AS (SELECT w, src AS id, COUNT(*) AS od FROM we GROUP BY 1, 2),
+base AS MATERIALIZED (
+  SELECT v.w, v.id, COALESCE(od.od, 0) AS od
+  FROM verts v LEFT JOIN od ON od.w = v.w AND od.id = v.id
+),
+ng AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM base GROUP BY 1
+),
+r0 AS MATERIALIZED (
+  SELECT b.w, b.id, b.od, 1.0::DOUBLE / ng.n AS rank
+  FROM base b JOIN ng USING (w)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT e.w, e.dst AS id, SUM(r.rank / r.od) AS recv
+  FROM we e JOIN {p} r ON r.w = e.w AND r.id = e.src AND r.od > 0
+  GROUP BY 1, 2
+),
+dg{i} AS (
+  SELECT w, COALESCE(SUM(rank), 0.0::DOUBLE) AS dang
+  FROM {p} WHERE od = 0 GROUP BY 1
+),
+r{i} AS MATERIALIZED (
+  SELECT b.w, b.id, b.od,
+         (1.0::DOUBLE - {d}) / ng.n
+         + {d} * COALESCE(c.recv, 0.0::DOUBLE)
+         + {d} * COALESCE(dg.dang, 0.0::DOUBLE) / ng.n AS rank
+  FROM base b
+  JOIN ng USING (w)
+  LEFT JOIN c{i} c ON c.w = b.w AND c.id = b.id
+  LEFT JOIN dg{i} dg ON dg.w = b.w
+)"""
+        )
+    parts.append(
+        f"""
+SELECT w AS win_start, id, ROUND(rank, 6) AS rank
+FROM r{iters} ORDER BY win_start, id"""
+    )
+    return "".join(parts)
+
+
 CODE_N_REPOS = 64
 CODE_IMPORTS = 3
 
@@ -4524,6 +4619,7 @@ _DATAPIPE_QUERIES = {
     "code_sha_invariant": q_code_sha_invariant,
     "events_temporal_graph": q_events_temporal_graph,
     "events_windowed_components": q_events_windowed_components,
+    "events_windowed_pagerank": q_events_windowed_pagerank,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
     "dedup_clusters": q_dedup_clusters,
@@ -4824,6 +4920,7 @@ FROM events GROUP BY 1, 2 ORDER BY 1""",
     "code_sha_invariant": _CODE_SHA_SQL,
     "events_temporal_graph": _TEMPORAL_GRAPH_SQL,
     "events_windowed_components": _WINDOWED_COMPONENTS_SQL,
+    "events_windowed_pagerank": _windowed_pagerank_sql(),
     "events_props_json": """
 SELECT CAST(props->>'$.k' AS BIGINT) AS k,
        COUNT(*) AS n_events,

@@ -174,6 +174,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "code_sha_invariant",
                     "events_temporal_graph",
                     "events_windowed_components",
+                    "events_windowed_pagerank",
                     "events_transitions",
                     "stream_late_data",
                     "stream_stream_join",

@@ -19,6 +19,7 @@ from motive_spark.kernels.labelprop import (
     seeded_label_propagation,
 )
 from motive_spark.kernels.pagerank import (
+    grouped_pagerank,
     pagerank,
     personalized_pagerank,
     weighted_pagerank,
@@ -49,6 +50,7 @@ __all__ = [
     "harmonic_centrality",
     "label_propagation",
     "louvain_refine",
+    "grouped_pagerank",
     "contract_graph",
     "louvain_refine_weighted",
     "louvain_multilevel",

@@ -519,3 +519,107 @@ def personalized_pagerank(
     base.unpersist()
     present.unpersist()
     return ranks.select("id", "rank")
+
+
+def grouped_pagerank(
+    edges: DataFrame,
+    group_col: str = "g",
+    damping: float = 0.85,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Independent PageRanks for MANY graphs in ONE iteration loop:
+    every vertex key is (group, id) and the per-graph scalars — vertex
+    count, dangling mass, teleport — become per-group columns, so a
+    thousand daily snapshot graphs (or per-language subgraphs) converge
+    together in ``max_iter`` supersteps TOTAL instead of one kernel
+    launch each.  The group rides every shuffle key; ranks within a
+    group sum to 1 exactly as in the single-graph kernel (same damped
+    update with per-group dangling redistribution).
+
+    Fixed-iteration only (the grouped analogue of ``tol=None``), which
+    keeps it oracle-replayable.  Returns (group, id, rank).
+    """
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = (
+        edges.select(F.col(group_col).alias("g"), "src", "dst")
+        .repartition(npart, "g", "src")
+        .cache()
+    )
+    verts = (
+        e.select("g", F.col("src").alias("id"))
+        .union(e.select("g", F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("g", F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        verts.join(outdeg, ["g", "id"], "left")
+        .select("g", "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .repartition(npart, "g", "id")
+        .cache()
+    )
+    ngt = base.groupBy("g").agg(F.count(F.lit(1)).alias("n")).cache()
+    # stationary weighted edge side (copartition shape)
+    ew = (
+        e.join(
+            outdeg.select(
+                "g", F.col("id").alias("src"), "out_deg"
+            ),
+            ["g", "src"],
+        )
+        .repartition(npart, "g", "src")
+        .cache()
+    )
+    ew.count()
+
+    d = float(damping)
+    ranks = base.join(ngt, "g").select(
+        "g", "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(max_iter):
+        rside = ranks.select(
+            F.col("g").alias("_rg"),
+            F.col("id").alias("_rid"),
+            F.col("rank").alias("_rr"),
+        )
+        contribs = (
+            ew.join(
+                rside.hint("shuffle_hash"),
+                (F.col("g") == F.col("_rg")) & (F.col("src") == F.col("_rid")),
+            )
+            .groupBy("g", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("_rr") / F.col("out_deg")).alias("recv"))
+        )
+        dang = (
+            ranks.join(base, ["g", "id"])
+            .where(F.col("out_deg") == 0)
+            .groupBy("g")
+            .agg(F.sum("rank").alias("dang"))
+        )
+        ranks = (
+            base.select("g", "id")
+            .join(contribs, ["g", "id"], "left")
+            .join(dang, "g", "left")
+            .join(ngt, "g")
+            .select(
+                "g",
+                "id",
+                (
+                    F.lit(1.0 - d) / F.col("n")
+                    + F.lit(d) * F.coalesce("recv", F.lit(0.0))
+                    + F.lit(d)
+                    * F.coalesce("dang", F.lit(0.0))
+                    / F.col("n")
+                ).alias("rank"),
+            )
+            .repartition(npart, "g", "id")
+            .localCheckpoint()
+        )
+    e.unpersist()
+    base.unpersist()
+    ngt.unpersist()
+    ew.unpersist()
+    return ranks.select(F.col("g").alias(group_col), "id", "rank")

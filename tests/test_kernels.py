@@ -1845,3 +1845,29 @@ def test_louvain_weighted_and_multilevel(spark):
     c1 = {ml[i] for i in range(4)}
     c2 = {ml[i] for i in range(10, 14)}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_grouped_pagerank_matches_per_group_kernel(spark):
+    """grouped_pagerank == the single-graph reference oracle run
+    independently per group (same damped update, per-group dangling)."""
+    from motive_spark.kernels import grouped_pagerank
+
+    g1 = [(1, 2), (2, 3), (3, 1), (3, 4)]          # has a dangling vertex
+    g2 = [(10, 11), (11, 10), (11, 12), (12, 10)]  # strongly connected
+    rows = [("a", s, d) for s, d in g1] + [("b", s, d) for s, d in g2]
+    df = spark.createDataFrame(rows, "g string, src long, dst long")
+    got = {
+        (r.g, r.id): r.rank
+        for r in grouped_pagerank(df, "g", max_iter=8).collect()
+    }
+    for gname, pairs in (("a", g1), ("b", g2)):
+        want = py_pagerank(pairs, damping=0.85, max_iter=8, tol=0)
+        for vid, rank in want.items():
+            assert abs(got[(gname, vid)] - rank) < 1e-9, (gname, vid)
+    # per-group ranks each sum to 1
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (gname, _), r in got.items():
+        sums[gname] += r
+    assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
