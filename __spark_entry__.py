@@ -3259,6 +3259,30 @@ SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim_keys,
 FROM pass_rows, true_rows"""
 
 
+HOTKEYS_TOP = 10
+
+
+def q_lineitem_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew PRE-PASS as its own gated row: exact top-10 partkeys
+    by lineitem row count (map-side-combinable aggregate — the shuffle
+    carries per-partition partials, never rows), deterministic
+    tie-break by key."""
+    from motive_spark.datapipe import top_keys_by_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = top_keys_by_count(li, ["l_partkey"], top_k=HOTKEYS_TOP)
+    win = Window.orderBy(F.desc("n_rows"), "l_partkey")
+    return out.withColumn("rank", F.row_number().over(win))
+
+
+_HOT_KEYS_SQL = f"""
+SELECT l_partkey, n_rows, CAST(rank AS INT) AS rank FROM (
+  SELECT l_partkey, COUNT(*) AS n_rows,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_partkey) AS rank
+  FROM lineitem GROUP BY 1
+) WHERE rank <= {HOTKEYS_TOP} ORDER BY rank"""
+
+
 SALT_N = 8
 
 
@@ -4663,6 +4687,7 @@ _DATAPIPE_QUERIES = {
     "events_scd2": q_events_scd2,
     "events_transitions": q_events_transitions,
     "orders_salted_join": q_orders_salted_join,
+    "lineitem_hot_keys": q_lineitem_hot_keys,
     "orders_bloom_prune": q_orders_bloom_prune,
     "text_contamination": q_text_contamination,
     "text_redact_pii": q_text_redact_pii,
@@ -4942,6 +4967,7 @@ FROM events GROUP BY 1 ORDER BY 1""",
     "events_scd2": _SCD2_SQL,
     "events_transitions": _TRANSITIONS_SQL,
     "orders_salted_join": _SALTED_JOIN_SQL,
+    "lineitem_hot_keys": _HOT_KEYS_SQL,
     "orders_bloom_prune": _bloom_prune_sql(),
     "part_record_linkage": _LINKAGE_SQL,
     # exact histogram percentiles: smallest value whose cumulative count

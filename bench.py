@@ -181,6 +181,7 @@ def _extra_benches(spark) -> dict[str, float]:
                     "orders_assoc_rules",
                     "events_scd2",
                     "orders_salted_join",
+                    "lineitem_hot_keys",
                     "orders_bloom_prune",
                     "graph_bridges",
                     "graph_articulation",
