@@ -664,6 +664,9 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("mult"))
+        # within-query cache: the sources collect below and the kernel
+        # both consume wund -- one lineitem self-join instead of two
+        .cache()
     )
     verts = wund.select(F.col("src").alias("id")).union(
         wund.select(F.col("dst").alias("id"))
@@ -778,6 +781,9 @@ def q_graph_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("mult"))
+        # within-query cache: the sources collect below and the kernel
+        # both consume wund -- one lineitem self-join instead of two
+        .cache()
     )
     verts = wund.select(F.col("src").alias("id")).union(
         wund.select(F.col("dst").alias("id"))
@@ -830,7 +836,8 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.graph import vertices
     from motive_spark.kernels import harmonic_centrality
 
-    und = _und(spark, sf_dir)
+    # within-query cache: the source collect and the kernel both read und
+    und = _und(spark, sf_dir).cache()
     srcs = [r.id for r in vertices(und).orderBy("id").limit(8).collect()]
     return harmonic_centrality(und, srcs, rounds=6).orderBy("id")
 
@@ -912,7 +919,8 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled oracle replays the accumulation bit-for-bit."""
     from motive_spark.kernels import betweenness_sampled
 
-    und = _und(spark, sf_dir)
+    # within-query cache: the source collect and the kernel both read und
+    und = _und(spark, sf_dir).cache()
     verts = und.select(F.col("src").alias("id")).union(
         und.select(F.col("dst").alias("id"))
     ).distinct()
@@ -1778,7 +1786,8 @@ def q_graph_contracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted second Louvain level consumes)."""
     from motive_spark.kernels import contract_graph, louvain_refine
 
-    und = _und(spark, sf_dir)
+    # within-query cache: louvain_refine and contract_graph both read und
+    und = _und(spark, sf_dir).cache()
     comm = louvain_refine(und, rounds=LOUVAIN_ROUNDS)
     return contract_graph(und, comm).orderBy("src", "dst")
 

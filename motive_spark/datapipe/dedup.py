@@ -72,6 +72,16 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` docs are dropped before the join (df cap — the
     quadratic-blowup guard at corpus scale).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Under the df cap the score is a LOWER BOUND on the true Jaccard:
+    the shared-gram numerator counts df-capped grams only, while the
+    size denominators count ALL grams — so a pair sharing only
+    high-df grams scores 0 (is missed) and every reported score is
+    <= the uncapped value.  This is deliberate: frequent grams carry
+    no near-duplicate signal (boilerplate), and keeping denominators
+    uncapped means a reported jaccard never OVERSTATES similarity.
+    Raise ``max_doc_freq`` toward the corpus size to tighten the
+    bound at quadratic cost.
     """
     grams = word_ngrams(docs, n).cache()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))

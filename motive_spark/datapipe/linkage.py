@@ -78,14 +78,32 @@ def blocked_link_pairs(
         F.col("_nm").alias(f"b_{name_col}"),
         *[F.col(c).alias(f"b_{c}") for c in carry],
     )
-    d = F.levenshtein(F.col(f"a_{name_col}"), F.col(f"b_{name_col}"))
+    # bounded levenshtein: the threshold form computes a banded DP
+    # (O(len * max_distance) per pair instead of O(len^2)) and returns
+    # -1 when the true distance exceeds the bound — for every KEPT pair
+    # (distance <= max_distance) it returns the exact distance, and -1
+    # always fails ``>= min_distance`` (min_distance >= 0), so results
+    # are bit-identical to the unbounded form.  A |len(a)-len(b)| <=
+    # max_distance prefilter short-circuits first: levenshtein >= the
+    # length difference, so no qualifying pair is lost and most
+    # non-candidates never evaluate the DP at all.
+    d = F.levenshtein(
+        F.col(f"a_{name_col}"), F.col(f"b_{name_col}"), max_distance
+    )
+    len_ok = (
+        F.abs(
+            F.length(F.col(f"a_{name_col}"))
+            - F.length(F.col(f"b_{name_col}"))
+        )
+        <= max_distance
+    )
     return (
         a.join(
             b,
             (F.col("_blk_a") == F.col("_blk_b"))
             & (F.col(f"a_{key_col}") < F.col(f"b_{key_col}")),
         )
-        .where((d >= min_distance) & (d <= max_distance))
+        .where(len_ok & (d >= min_distance) & (d <= max_distance))
         .select(
             f"a_{key_col}",
             f"b_{key_col}",

@@ -212,16 +212,25 @@ def embedding_near_duplicates(
         pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
     else:
         bucketed = _lsh_bucketed(embeddings, n_planes, n_tables, seed)
-        l = bucketed.select(
-            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
-        )
-        r = bucketed.select(
-            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
-        )
-        pairs = (
+        l = bucketed.select(F.col("vec_id").alias("vec_a"), "bucket")
+        r = bucketed.select(F.col("vec_id").alias("vec_b"), "bucket")
+        # candidate generation + dedup move ID PAIRS only — the heavy
+        # embedding payload (dim doubles per side) is re-attached AFTER
+        # the n_tables-way duplicate collapse, so the dedup exchange
+        # carries 16 bytes/row instead of ~2*dim*8 (guide §8: decide
+        # with small rows, move big rows once)
+        pair_ids = (
             l.join(r, on="bucket")
             .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
             .dropDuplicates(["vec_a", "vec_b"])
+        )
+        pairs = pair_ids.join(
+            emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            on="vec_a",
+        ).join(
+            emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            on="vec_b",
         )
     scored = with_cosine(pairs).withColumn("cos", F.round("cos", 6))
     return scored.where(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")

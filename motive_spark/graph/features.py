@@ -11,7 +11,7 @@ SQL oracle replays every sampled pair exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -92,24 +92,27 @@ def negative_samples(
     k * (1 - deg(u)/|V|); callers needing exactly-k oversample and
     truncate downstream.
 
-    Scale shape: the rank->id map is one global sort of the |V|-row
-    vertex table (the same id-compaction pass the CSR layout already
-    pays; at 1e9+ vertices swap in zipWithIndex-by-partition-offsets),
-    then an equi-join on rank and one anti-join against the
-    symmetrized edge set — no candidate ever fans out beyond k rows
-    per vertex.
+    Scale shape: the rank->id map is the two-phase per-partition-offset
+    rank (``graph.normalize.dense_index`` — range-partition, rank
+    within partitions, add collected per-PARTITION offsets), never a
+    single-partition global window; then an equi-join on rank and one
+    anti-join against the symmetrized edge set — no candidate ever
+    fans out beyond k rows per vertex.
     """
     if k <= 0:
         raise ValueError("negative_samples: k must be positive")
+    from motive_spark.graph.normalize import dense_index
+
     e = edges.select("src", "dst")
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     verts = sym.select(F.col("src").alias("id")).distinct()
     n = verts.count()
-    ranked = verts.select(
-        "id",
-        (F.row_number().over(Window.orderBy("id")) - 1).alias("rank"),
+    # identical rank values to row_number().over(Window.orderBy("id"))-1,
+    # without the |V|-row single-partition sort (VERDICT r5 #1)
+    ranked = dense_index(verts.select(F.col("id").alias("_v")), "_v").select(
+        F.col("_v").alias("id"), F.col("id").alias("rank")
     )
     cand = verts.select(
         F.col("id").alias("src"),

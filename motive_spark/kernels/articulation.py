@@ -123,9 +123,16 @@ def articulation_points(
             .repartition(npart, "id")
             .localCheckpoint()
         )
-        assigned = assigned.unionByName(nxt).localCheckpoint()
+        # accumulate as a LAZY union of the per-level checkpoints: the
+        # anti-join above only scans already-materialized blocks, so
+        # re-checkpointing the whole growing table every level (O(height
+        # * |V|) materialized rows) buys nothing
+        assigned = assigned.unionByName(nxt)
         frontier = nxt
     height = level
+    # one materialization of the final rooted tree for the many
+    # downstream consumers (folds, preorder, aux construction)
+    assigned = assigned.localCheckpoint()
 
     children_of = assigned.where(F.col("parent").isNotNull()).select(
         F.col("parent").alias("id"), F.col("id").alias("child")
@@ -156,17 +163,21 @@ def articulation_points(
         done = None
         rounds = 0
         while True:
-            ready = st.where(F.col("pending") == 0)
-            if ready.isEmpty():
+            # checkpoint the ready set FIRST, then test emptiness on the
+            # materialized blocks — one scan of st per round instead of
+            # a separate isEmpty pass
+            out = (
+                st.where(F.col("pending") == 0)
+                .select("id", "parent", *[n for n, _ in combine_cols])
+                .localCheckpoint()
+            )
+            if out.isEmpty():
                 break
             rounds += 1
             if rounds > max_rounds:
                 raise RuntimeError(
                     "articulation_points: fold exceeded max_rounds"
                 )
-            out = ready.select(
-                "id", "parent", *[n for n, _ in combine_cols]
-            ).localCheckpoint()
             done = out if done is None else done.unionByName(out)
             push = out.where(F.col("parent").isNotNull())
             fold = push.groupBy(F.col("parent").alias("id")).agg(
@@ -174,7 +185,7 @@ def articulation_points(
                 F.count(F.lit(1)).alias("_nch"),
             )
             st = (
-                st.join(ready.select("id"), "id", "left_anti")
+                st.join(out.select("id"), "id", "left_anti")
                 .join(fold, "id", "left")
                 .select(
                     "id",
@@ -250,8 +261,10 @@ def articulation_points(
         )
         if nxt.isEmpty():
             break
-        pre = pre.unionByName(nxt).localCheckpoint()
+        # lazy union of per-level checkpoints (see BFS rooting above)
+        pre = pre.unionByName(nxt)
         cur = nxt
+    pre = pre.localCheckpoint()
 
     # ---- pass 6: low/high from non-tree reach -------------------------
     n2 = nontree.unionByName(

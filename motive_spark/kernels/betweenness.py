@@ -62,8 +62,13 @@ def betweenness_sampled(
     # would multiply sigma
     e = e.distinct().repartition(npart, "src").cache()
 
+    # union of BOTH endpoints: under directed=True a vertex appearing
+    # only as a destination still gets its promised zero-filled row
     verts = (
-        e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
     state = spark.createDataFrame(
@@ -71,35 +76,52 @@ def betweenness_sampled(
         "source long, id long, dist int, sigma long",
     ).localCheckpoint(eager=True)
     frontier = state
+    backing = state
 
     for lvl in range(1, depth + 1):
-        cand = (
-            frontier.join(e, on=[frontier.id == e.src])
-            .groupBy("source", F.col("dst").alias("nid"))
-            .agg(F.sum("sigma").alias("sigma"))
+        # ONE fused aggregation per BFS level: raw relax rows (tag 0)
+        # union the standing state (tag 1) and group on (source, id) —
+        # a vertex already in state keeps its sigma/dist (old_sigma is
+        # non-null, dist_old < lvl so min picks it); a newly discovered
+        # vertex sums its relax sigmas exactly as the old separate
+        # cand-groupBy + left_anti did.  One shuffle + one checkpoint
+        # per level instead of two aggregation/join passes + three
+        # materializations.
+        relax = frontier.join(e, on=[frontier.id == e.src]).select(
+            "source",
+            F.col("dst").alias("id"),
+            F.lit(lvl).cast("int").alias("dist"),
+            "sigma",
+            F.lit(0).alias("tag"),
         )
-        new = (
-            cand.join(
-                state.select("source", F.col("id").alias("nid")),
-                on=["source", "nid"],
-                how="left_anti",
+        merged = (
+            state.select(
+                "source", "id", "dist", "sigma", F.lit(1).alias("tag")
             )
-            .select(
-                "source",
-                F.col("nid").alias("id"),
-                F.lit(lvl).cast("int").alias("dist"),
-                "sigma",
+            .unionByName(relax)
+            .groupBy("source", "id")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("tag") == 1, F.col("sigma"))).alias(
+                    "old_sigma"
+                ),
+                F.sum(F.when(F.col("tag") == 0, F.col("sigma"))).alias(
+                    "cand_sigma"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        new_state = state.unionByName(new).localCheckpoint(eager=True)
-        # bound the storage footprint: the superseded state's blocks
-        # are dead once the union is materialized
-        for old in ({id(state): state, id(frontier): frontier}).values():
-            old.unpersist()
-        state, frontier = new_state, new
-
-    frontier.unpersist()  # deepest frontier is already folded into state
+        backing.unpersist()
+        backing = merged
+        state = merged.select(
+            "source",
+            "id",
+            "dist",
+            F.coalesce("old_sigma", "cand_sigma").alias("sigma"),
+        )
+        frontier = merged.where(F.col("old_sigma").isNull()).select(
+            "source", "id", "dist", F.col("cand_sigma").alias("sigma")
+        )
 
     # backward accumulation: delta rows exist only where non-zero
     delta = spark.createDataFrame([], "source long, id long, delta long")
@@ -157,6 +179,6 @@ def betweenness_sampled(
         .select("id", F.coalesce("bc_q", F.lit(0)).alias("bc_q"))
     )
     out = out.localCheckpoint(eager=True)
-    for tmp in (e, verts, state, delta):
+    for tmp in (e, verts, backing, delta):
         tmp.unpersist()
     return out

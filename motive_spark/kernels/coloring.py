@@ -48,15 +48,36 @@ def greedy_coloring(
         )
         .localCheckpoint(eager=True)
     )
-    pri = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.col("id").cast("string"), F.lit(str(seed)))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long") * F.lit(1 << 31) + F.col("id")
+    # priority h*2^31 + id is injective (and BIGINT-safe: h < 2^32 so
+    # h*2^31 + id < 2^63) only for ids < 2^31 — JP's race-freedom proof
+    # needs distinct priorities, so larger ids fail fast per row instead
+    # of silently colliding or overflowing under ANSI mode
+    pri = F.when(
+        (F.col("id") >= 0) & (F.col("id") < F.lit(1 << 31)),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("id").cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(1 << 31)
+        + F.col("id"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "greedy_coloring: vertex ids must be in [0, 2^31) for the "
+                "injective JP priority; remap ids (graph.normalize."
+                "dense_index) first"
+            )
+        ).cast("long")
+    )
     state = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -8,13 +8,20 @@ neighbors' sketches, so after t rounds the sketch estimates |ball(v,t)|
 — the building block for effective-diameter / average-distance
 estimation at sizes where exact BFS-from-everywhere is impossible.
 
-Layout is SPARSE and relational: a sketch is rows (id, j, r) — register
-j holds max rho — NOT a packed array, so a round is
+Layout is a DENSE per-vertex register row: a sketch is ONE row
+(id, r0..r31) — register j holds max rho, absent registers 0 — so a
+round is
 
-    (state ∪ (state ⋈ sym edges)) groupBy (id, j) max(r)
+    (state ∪ (state ⋈ sym edges)) groupBy id, 32 scalar max() aggs
 
-one equi-join + one max-aggregation (the CC exchange shape), ≤ |V|·R
-rows total, map-side-combinable, no higher-order-function UDFs.
+one equi-join + one max-aggregation (the CC exchange shape), |V| rows
+of state and |E| relax rows per round, map-side-combinable, fully
+whole-stage-codegen'd (an F.max per register column — NOT interpreted
+higher-order functions).  r6 note: the r1-r5 layout was sparse rows
+(id, j, r), which shuffled |E|·R rows per round; the dense row moves
+R-times fewer rows and ~4x fewer bytes through the exchange for b=5,
+with bit-identical results (register max is associative; an absent
+register and r=0 contribute the same 2^rmax term to S).
 
 Register derivation is the md5 trick (cross-engine byte-identical):
 ``h = md5(id|seed)``; register j = first-8-hex mod R; rho = leading
@@ -77,40 +84,54 @@ def hyperball(
         F.lit(rmax),
     ).cast("int")
 
+    # seed every endpoint, not just sources: under directed=True a
+    # sink vertex (in-degree only) must still own its register row so
+    # its singleton sketch merges into predecessors' balls (the
+    # undirected path already has every vertex on the src side).
+    # Dense layout: one row per vertex, register columns r0..r31 (0 =
+    # absent; own register j seeded to rho).
+    reg_cols = [f"r{i}" for i in range(R)]
     state = (
         e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .select("id", j.alias("j"), rho.alias("r"))
+        .select("id", j.alias("j"), rho.alias("rho"))
+        .select(
+            "id",
+            *[
+                F.when(F.col("j") == i, F.col("rho"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias(c)
+                for i, c in enumerate(reg_cols)
+            ],
+        )
         .localCheckpoint(eager=True)
     )
 
     for _ in range(rounds):
-        nbr = state.join(
-            e, on=[state.id == e.dst]
-        ).select(F.col("src").alias("id"), "j", "r")
+        nbr = state.join(e, on=[state.id == e.dst]).select(
+            F.col("src").alias("id"), *reg_cols
+        )
         new_state = (
             state.unionByName(nbr)
-            .groupBy("id", "j")
-            .agg(F.max("r").alias("r"))
+            .groupBy("id")
+            .agg(*[F.max(c).alias(c) for c in reg_cols])
             .localCheckpoint(eager=True)
         )
         state.unpersist()  # superseded round's blocks are dead
         state = new_state
 
-    # exact integer harmonic sum: present registers contribute
-    # 2^(rmax - r), the (R - n_present) absent ones 2^rmax each —
-    # pure integer shifts, no float until the final estimate
-    s_present = F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - r)"))
-    n_present = F.count(F.lit(1))
-    s_int = (
-        s_present
-        + (F.lit(R) - n_present) * F.lit((1 << rmax)).cast("long")
+    # exact integer harmonic sum: register r contributes 2^(rmax - r)
+    # (r=0 == absent == 2^rmax) — pure integer shifts, no float until
+    # the final estimate
+    s_int = sum(
+        (F.expr(f"shiftleft(CAST(1 AS BIGINT), {rmax} - {c})") for c in reg_cols),
+        F.lit(0).cast("long"),
     ).cast("long")
     est = F.round(
         F.lit(float(_ALPHA_32 * R * R * (1 << rmax))) / F.col("s_int"), 6
     )
-    return (
-        state.groupBy("id")
-        .agg(s_int.alias("s_int"))
-        .select("id", "s_int", est.alias("ball_est"))
+    return state.select("id", s_int.alias("s_int")).select(
+        "id", "s_int", est.alias("ball_est")
     )

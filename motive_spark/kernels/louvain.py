@@ -280,6 +280,7 @@ def louvain_multilevel(
     The coarse graph is typically orders of magnitude smaller, so the
     second level costs a fraction of the first — the full Blondel
     multilevel shape, deterministic at every step."""
+    edges = edges.select("src", "dst").cache()  # level-1 + contraction reuse
     l1 = louvain_refine(edges, rounds=rounds1).cache()
     coarse = contract_graph(edges, l1)
     l2 = louvain_refine_weighted(coarse, rounds=rounds2)

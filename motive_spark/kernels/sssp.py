@@ -80,6 +80,7 @@ def shortest_paths(
     fixed = rounds is not None
     n_rounds = rounds if fixed else max_rounds
     converged = False
+    merged = None
     for _ in range(n_rounds):
         _t0 = _time.time() if round_timings is not None else 0.0
         relax = frontier.join(e, on=[frontier.id == e.src]).select(
@@ -87,30 +88,40 @@ def shortest_paths(
             F.col("dst").alias("id"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        new_state = (
-            state.unionByName(relax)
+        # ONE aggregation computes both successors: carry the previous
+        # distance as a second min (state rows tag old=dist, relax rows
+        # old=NULL; min ignores nulls and each (source, id) has at most
+        # one state row, so old IS the prior distance).  new_state and
+        # the frontier are narrow projections of the same checkpointed
+        # result — one shuffle + one materialization per round instead
+        # of the old agg + diff-join + second checkpoint.
+        new_merged = (
+            state.select(
+                "source", "id", "dist", F.col("dist").alias("old")
+            )
+            .unionByName(
+                relax.withColumn("old", F.lit(None).cast("long"))
+            )
             .groupBy("source", "id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        new_frontier = new_state.join(
-            state.withColumnRenamed("dist", "old"),
-            on=["source", "id"],
-            how="left",
-        ).where(
+        new_state = new_merged.select("source", "id", "dist")
+        new_frontier = new_merged.where(
             F.col("old").isNull() | (F.col("dist") < F.col("old"))
-        ).select("source", "id", "dist").localCheckpoint(eager=True)
-        # release the PREVIOUS round's checkpoint blocks now that both
-        # successors are materialized: state is O(|sources|*|V|) rows,
+        ).select("source", "id", "dist")
+        # release the PREVIOUS round's checkpoint blocks now that the
+        # successor is materialized: state is O(|sources|*|V|) rows,
         # and without this the kernel's storage footprint grows
         # linearly with rounds (measured: back-to-back runs in one JVM
         # slowed 2-3x as dead blocks piled up ahead of driver GC)
-        for old in ({id(state): state, id(frontier): frontier}).values():
-            old.unpersist()
+        if merged is not None:
+            merged.unpersist()
+        merged = new_merged
         state, frontier = new_state, new_frontier
         if round_timings is not None:
-            # one relaxation superstep = the relax join + min-agg +
-            # frontier diff, materialized by the two eager checkpoints
+            # one relaxation superstep = the relax join + fused
+            # state/frontier min-agg, materialized by ONE checkpoint
             round_timings.append(_time.time() - _t0)
         if not fixed and frontier.limit(1).count() == 0:
             converged = True
@@ -123,8 +134,8 @@ def shortest_paths(
             stacklevel=2,
         )
     e.unpersist()
-    if frontier is not state:  # rounds=0 leaves them aliased
-        frontier.unpersist()
+    # state/frontier are narrow projections of the final ``merged``
+    # checkpoint, which stays alive as the returned result's backing
     return state
 
 
@@ -222,54 +233,55 @@ def delta_stepping(
         [(int(s), int(s), 0) for s in sorted(set(sources))],
         "source long, id long, dist long",
     ).localCheckpoint(eager=True)
+    backing = state  # checkpoint that materializes the current state
 
     def _relax(frontier: DataFrame, etab: DataFrame, cur: DataFrame):
-        """min(cur, frontier ⋈ etab); returns (new_state, improved)."""
+        """min(cur, frontier ⋈ etab); returns (new_state, improved,
+        merged) — new_state/improved are narrow projections of the ONE
+        checkpointed fused aggregation (same old-as-second-min trick as
+        shortest_paths: one shuffle, one materialization per relax)."""
         relax = frontier.join(etab, on=[frontier.id == etab.src]).select(
             "source",
             F.col("dst").alias("id"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        new_state = (
-            cur.unionByName(relax)
+        merged = (
+            cur.select("source", "id", "dist", F.col("dist").alias("old"))
+            .unionByName(relax.withColumn("old", F.lit(None).cast("long")))
             .groupBy("source", "id")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new_state.join(
-                cur.withColumnRenamed("dist", "old"),
-                on=["source", "id"],
-                how="left",
-            )
-            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("source", "id", "dist")
-            .localCheckpoint(eager=True)
-        )
-        cur.unpersist()
-        return new_state, improved
+        new_state = merged.select("source", "id", "dist")
+        improved = merged.where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("source", "id", "dist")
+        return new_state, improved, merged
 
     boundary = 0  # every dist < boundary is final for its source
     for _ in range(max_outer):
+        # integer DIV, not float division: dist/delta via doubles is
+        # exact only while dist < 2^53 (the repo-wide integer-DIV
+        # discipline — see stats.py); dist >= 0 so DIV == floor-div
         head = (
             state.where(F.col("dist") >= boundary)
-            .agg(F.min((F.col("dist") / delta).cast("long")).alias("b"))
+            .agg(F.min(F.expr(f"dist DIV {int(delta)}")).alias("b"))
             .collect()[0]["b"]
         )
         if head is None:
             break
         b = int(head)
-        in_bucket = (F.col("dist") / delta).cast("long") == b
-        frontier = state.where(in_bucket).localCheckpoint(eager=True)
+        in_bucket = F.expr(f"dist DIV {int(delta)}") == b
+        frontier = state.where(in_bucket)
         for _i in range(max_inner):
-            state, improved = _relax(frontier, light, state)
-            frontier.unpersist()
+            state, improved, new_backing = _relax(frontier, light, state)
+            backing.unpersist()
+            backing = new_backing
             # only improvements landing back in bucket b re-relax now;
             # later-bucket improvements wait for their own bucket
-            frontier = improved.where(in_bucket).localCheckpoint(
-                eager=True
-            )
-            improved.unpersist()
+            # (narrow filters of the already-checkpointed merged — no
+            # extra materialization needed)
+            frontier = improved.where(in_bucket)
             if frontier.limit(1).count() == 0:
                 break
         else:
@@ -279,11 +291,10 @@ def delta_stepping(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        frontier.unpersist()
-        settled = state.where(in_bucket).localCheckpoint(eager=True)
-        state, improved = _relax(settled, heavy, state)
-        settled.unpersist()
-        improved.unpersist()
+        settled = state.where(in_bucket)
+        state, improved, new_backing = _relax(settled, heavy, state)
+        backing.unpersist()
+        backing = new_backing
         boundary = (b + 1) * delta
     else:
         warnings.warn(

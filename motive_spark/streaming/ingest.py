@@ -491,13 +491,26 @@ def stream_stream_join_counts(
     )
     out_dir = tempfile.mkdtemp(prefix="ssj_out_", dir=_drain_root())
     ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_", dir=_drain_root())
-    pairs_schema = joined.schema
-    spark.createDataFrame([], pairs_schema).write.mode("overwrite").parquet(
+    partial_schema = "a_user long, n_pairs long, sum_value_cents long"
+    spark.createDataFrame([], partial_schema).write.mode("overwrite").parquet(
         out_dir
     )
 
     def write_batch(bdf: DataFrame, epoch_id: int) -> None:
-        bdf.write.mode("append").parquet(out_dir)
+        # aggregate BEFORE the sink (guide §2.3): each epoch appends
+        # per-user partial (count, sum) rows instead of every raw
+        # matched pair — count/sum are decomposable, so summing the
+        # partials below is bit-identical to aggregating raw pairs,
+        # and the exactly-once foreachBatch contract is unchanged
+        (
+            bdf.groupBy("a_user")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("a_cents").alias("sum_value_cents"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
 
     q = (
         joined.writeStream.outputMode("append")
@@ -512,7 +525,7 @@ def stream_stream_join_counts(
         spark.read.parquet(out_dir)
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("a_cents").alias("sum_value_cents"),
+            F.sum("n_pairs").alias("n_pairs"),
+            F.sum("sum_value_cents").alias("sum_value_cents"),
         )
     )
