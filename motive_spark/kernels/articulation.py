@@ -108,6 +108,7 @@ def articulation_points(
         .localCheckpoint()
     )
     frontier = assigned
+    prev_ids = assigned.select("id")
     level = 0
     while not frontier.isEmpty():
         level += 1
@@ -115,19 +116,26 @@ def articulation_points(
             raise RuntimeError(
                 "articulation_points: BFS rooting exceeded max_rounds"
             )
+        # t2 is a TREE: a level-k vertex's neighbors are exactly its
+        # parent (level k-1) and its children (level k+1), so the
+        # visited check only needs the PREVIOUS level — never an
+        # anti-join against the whole growing assigned table (which
+        # made every level's job scan O(level) accumulated blocks)
         nxt = (
             t2.join(frontier.select(F.col("id").alias("src")), "src")
             .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
-            .join(assigned.select("id"), "id", "left_anti")
+            .join(prev_ids, "id", "left_anti")
             .withColumn("depth", F.lit(level))
-            .repartition(npart, "id")
             .localCheckpoint()
         )
-        # accumulate as a LAZY union of the per-level checkpoints: the
-        # anti-join above only scans already-materialized blocks, so
-        # re-checkpointing the whole growing table every level (O(height
-        # * |V|) materialized rows) buys nothing
+        # accumulate as a LAZY union of the per-level checkpoints,
+        # truncated every 8th level — an unbounded lazy union grows the
+        # logical plan linearly and Catalyst re-analysis quadratically
+        # (the superlinear-analysis hazard pagerank.py documents)
         assigned = assigned.unionByName(nxt)
+        if level % 8 == 0:
+            assigned = assigned.localCheckpoint()
+        prev_ids = frontier.select("id")
         frontier = nxt
     height = level
     # one materialization of the final rooted tree for the many
@@ -179,6 +187,8 @@ def articulation_points(
                     "articulation_points: fold exceeded max_rounds"
                 )
             done = out if done is None else done.unionByName(out)
+            if rounds % 8 == 0:
+                done = done.localCheckpoint()
             push = out.where(F.col("parent").isNotNull())
             fold = push.groupBy(F.col("parent").alias("id")).agg(
                 *[fn(n).alias(f"_d_{n}") for n, fn in combine_cols],
@@ -213,7 +223,6 @@ def articulation_points(
                         F.col("pending") - F.coalesce("_nch", F.lit(0))
                     ).alias("pending"),
                 )
-                .repartition(npart, "id")
                 .localCheckpoint()
             )
         return done
@@ -256,13 +265,15 @@ def articulation_points(
                 F.col("child").alias("id"),
                 (F.col("pre") + 1 + F.col("off")).alias("pre"),
             )
-            .repartition(npart, "id")
             .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        # lazy union of per-level checkpoints (see BFS rooting above)
+        # lazy union of per-level checkpoints, truncated every 8th
+        # level (see BFS rooting above)
         pre = pre.unionByName(nxt)
+        if _ % 8 == 7:
+            pre = pre.localCheckpoint()
         cur = nxt
     pre = pre.localCheckpoint()
 

@@ -73,6 +73,7 @@ def boruvka_msf(
         .localCheckpoint(eager=True)
     )
     forest = spark.createDataFrame([], "src long, dst long, w long")
+    chosen_ckpts: list[DataFrame] = []  # alive until the final forest build
 
     for _ in range(max_rounds):
         lab_s = labels.select(
@@ -106,9 +107,14 @@ def boruvka_msf(
         chosen = (
             cand.groupBy("c").agg(F.min("k").alias("k")).localCheckpoint(eager=True)
         )
+        chosen_ckpts.append(chosen)
+        # accumulate lazily over the per-round chosen CHECKPOINTS (kept
+        # alive until the final materialization below) — re-checkpointing
+        # the growing forest every round was one extra job per round for
+        # a table that is only read once at the end
         forest = forest.unionByName(
             chosen.select("k.src", "k.dst", "k.w").distinct()
-        ).localCheckpoint(eager=True)
+        )
 
         # functional parent graph; unique weights → cycles have length 2
         p = chosen.select("c", F.col("k.oc").alias("p"))
@@ -126,26 +132,30 @@ def boruvka_msf(
             )
             .localCheckpoint(eager=True)
         )
-        # pointer jumping to the flattened root
+        parent_backing = parent
+        # pointer jumping to the flattened root; the moved flag is
+        # computed INSIDE the jump (old vs new parent in one
+        # projection), so the convergence probe is a cheap scan of the
+        # jump's own checkpointed blocks — not a second join
         while True:
             hop = parent.select(
                 F.col("c").alias("p"), F.col("p").alias("gp")
             )
             jumped = (
                 parent.join(hop, on="p", how="left")
-                .select("c", F.coalesce("gp", F.col("p")).alias("p"))
+                .select(
+                    "c",
+                    F.coalesce("gp", F.col("p")).alias("p"),
+                    (
+                        F.coalesce("gp", F.col("p")) != F.col("p")
+                    ).alias("moved"),
+                )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                jumped.join(
-                    parent.withColumnRenamed("p", "old"), on="c"
-                )
-                .where(F.col("p") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            parent.unpersist()
-            parent = jumped
+            changed = jumped.where("moved").limit(1).count()
+            parent_backing.unpersist()
+            parent_backing = jumped
+            parent = jumped.select("c", "p")
             if changed == 0:
                 break
 
@@ -160,7 +170,7 @@ def boruvka_msf(
             .select("id", F.coalesce("newc", F.col("c")).alias("c"))
             .localCheckpoint(eager=True)
         )
-        for tmp in (labels, cross, chosen, parent):
+        for tmp in (labels, cross, parent_backing):
             tmp.unpersist()
         labels = new_labels
     else:
@@ -171,6 +181,6 @@ def boruvka_msf(
         )
 
     out = forest.select("src", "dst", "w").localCheckpoint(eager=True)
-    for tmp in (e, labels, forest):
+    for tmp in (e, labels, *chosen_ckpts):
         tmp.unpersist()
     return out
