@@ -2550,7 +2550,8 @@ def q_motif_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_spark.graph import degrees
     from motive_spark.kernels import triangle_count
 
-    und = _und(spark, sf_dir)
+    # within-query cache: orientation + degree pass both read und
+    und = _und(spark, sf_dir).cache()
     tri = triangle_count(und).collect()[0][0]
     deg = degrees(und, directed=False)
     wedges = deg.agg(
@@ -5242,6 +5243,22 @@ Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1995-03-15"
 
 
+def _day_ts(day: str, plus_days: int = 0):
+    """Day-boundary literal as a native timestamp_ntz for PUSHABLE scan
+    predicates: ``date_format(ts, 'yyyy-MM-dd') OP 'D'`` string compares
+    are order-isomorphic to timestamp compares at day boundaries
+    (zero-padded dates), so ``fmt(ts) >= D  <=>  ts >= D 00:00:00``,
+    ``fmt(ts) < D  <=>  ts < D 00:00:00``, ``fmt(ts) <= D  <=>
+    ts < (D+1) 00:00:00`` and ``fmt(ts) > D  <=>  ts >= (D+1) 00:00:00``
+    — identical row sets, but the predicate reaches PushedFilters (a
+    derived-expression filter cannot; guide §6).  The frozen DuckDB
+    oracle keeps its strftime form — only the Spark plan changes."""
+    import datetime as _dt
+
+    d = _dt.date.fromisoformat(day) + _dt.timedelta(days=plus_days)
+    return F.lit(f"{d.isoformat()} 00:00:00").cast("timestamp_ntz")
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (public spec) in exact fixed-point:
     qty/base in cents, disc_price in 1e-4 units, charge in 1e-6 units
@@ -5255,7 +5272,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     tax_c = F.round(F.col("l_tax") * 100).cast("long")
     return (
-        li.where(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        li.where(F.col("l_shipdate") < _day_ts("1998-09-02", plus_days=1))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_c).alias("sum_qty_c"),
@@ -5300,10 +5317,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
-        F.date_format("o_orderdate", "yyyy-MM-dd") < Q3_DATE
+        F.col("o_orderdate") < _day_ts(Q3_DATE)
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
-        F.date_format("l_shipdate", "yyyy-MM-dd") > Q3_DATE
+        F.col("l_shipdate") >= _day_ts(Q3_DATE, plus_days=1)
     )
     ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
@@ -5359,8 +5376,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
-        (F.date_format("o_orderdate", "yyyy-MM-dd") >= Q5_YEAR_LO)
-        & (F.date_format("o_orderdate", "yyyy-MM-dd") < Q5_YEAR_HI)
+        (F.col("o_orderdate") >= _day_ts(Q5_YEAR_LO))
+        & (F.col("o_orderdate") < _day_ts(Q5_YEAR_HI))
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dim = (
@@ -5424,8 +5441,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.where(
-            (F.date_format("l_shipdate", "yyyy-MM-dd") >= Q6_DATE_LO)
-            & (F.date_format("l_shipdate", "yyyy-MM-dd") < Q6_DATE_HI)
+            (F.col("l_shipdate") >= _day_ts(Q6_DATE_LO))
+            & (F.col("l_shipdate") < _day_ts(Q6_DATE_HI))
             & (disc_c >= Q6_DISC_LO)
             & (disc_c <= Q6_DISC_HI)
             & (F.col("l_quantity") < Q6_QTY)
@@ -5523,8 +5540,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
-        (F.date_format("o_orderdate", "yyyy-MM-dd") >= Q10_DATE_LO)
-        & (F.date_format("o_orderdate", "yyyy-MM-dd") < Q10_DATE_HI)
+        (F.col("o_orderdate") >= _day_ts(Q10_DATE_LO))
+        & (F.col("o_orderdate") < _day_ts(Q10_DATE_HI))
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
         F.col("l_returnflag") == "R"

@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1: prefer shuffled-hash over sort-merge when the
+        # per-partition build side fits — the iterative kernels join a
+        # small moving table (ranks/labels/frontier) against a stationary
+        # edge table every superstep, and skipping both sort passes
+        # measured -17% on a 10-query mixed subset (r6 A/B: scc 22.7->12.5,
+        # kcore 9.3->6.4, harmonic 21.3->17.9; OPTIMIZATION_r06.md).
+        # Size-bounded, not core-count-tuned: the 64 MB AQE threshold caps
+        # the build per partition and sort-merge remains the fallback
+        # above it, so the setting is scale-safe on a real cluster.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
