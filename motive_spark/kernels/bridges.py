@@ -145,6 +145,11 @@ def bridges(
             .dropDuplicates(["src", "dst"])
         )
         labeled = out if labeled is None else labeled.unionByName(out)
+        # truncate the accumulated union every 8 peel rounds — unbounded
+        # lazy unions grow Catalyst re-analysis quadratically on
+        # high-radius forests (same discipline as articulation r6)
+        if _ % 8 == 7:
+            labeled = labeled.localCheckpoint()
         # fold each peeled leaf's value into its neighbor
         delta = (
             peel.join(acc.withColumnRenamed("id", "leaf"), "leaf")
@@ -163,7 +168,6 @@ def bridges(
                 .otherwise(F.col("acc"))
                 .alias("acc"),
             )
-            .repartition(npart, "id")
             .localCheckpoint()
         )
         t2 = (

@@ -815,6 +815,73 @@ def test_blocked_link_pairs_semantics(spark):
     assert all(r.a_k not in (5, 6, 7) for r in capped)
 
 
+def test_blocked_link_pairs_bounded_levenshtein_equivalence(spark):
+    """r6: the banded threshold levenshtein + length-difference
+    prefilter must return EXACTLY the pairs and distances a full
+    unbounded levenshtein would: compare against a pure-python DP over
+    every within-block candidate."""
+    from pyspark.sql import functions as SF
+
+    from motive_spark.datapipe import blocked_link_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    import random
+
+    rng = random.Random(17)
+    vocab = ["bolt", "gear", "cog", "axle", "shaft", "washer"]
+    rows = []
+    for k in range(120):
+        w = rng.choice(vocab)
+        # mutate: insert/delete/substitute 0-3 chars
+        name = list(w + " " + rng.choice(vocab))
+        for _ in range(rng.randint(0, 3)):
+            pos = rng.randrange(len(name))
+            op = rng.randint(0, 2)
+            if op == 0:
+                name.insert(pos, rng.choice("abcxyz"))
+            elif op == 1 and len(name) > 1:
+                del name[pos]
+            else:
+                name[pos] = rng.choice("abcxyz")
+        rows.append((k, "".join(name)))
+    df = spark.createDataFrame(rows, "k long, name string")
+    blk = [SF.element_at(SF.split(SF.col("name"), " "), -1)]
+    got = {
+        (r.a_k, r.b_k): r.distance
+        for r in blocked_link_pairs(
+            df, "k", "name", blk, max_distance=2, min_distance=1
+        ).collect()
+    }
+    # python oracle over the same blocks
+    names = dict(rows)
+    blocks: dict[str, list[int]] = {}
+    for k, nm in rows:
+        blocks.setdefault(nm.split(" ")[-1], []).append(k)
+    want = {}
+    for members in blocks.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                d = lev(names[lo], names[hi])
+                if 1 <= d <= 2:
+                    want[(lo, hi)] = d
+    assert got == want
+
+
 def test_countmin_sketch_guarantee(spark):
     """CMS one-sided error: estimate >= exact for EVERY token, exact
     for tokens with no collisions; sketch size bounded by depth*width."""

@@ -1455,6 +1455,19 @@ def test_negative_samples(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
+def test_negative_samples_no_single_partition_exchange(spark):
+    """r6: the rank->id map uses the two-phase dense_index, so the plan
+    must contain NO single-partition exchange (the r5 verdict's flagged
+    |V|-row global row_number window)."""
+    from motive_spark.graph import negative_samples
+
+    pairs = [(i, (i + 1) % 40) for i in range(40)]
+    edges = edges_df(spark, pairs)
+    df = negative_samples(edges, k=2, seed=23)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def py_louvain_sync(pairs, rounds):
     """Pure-python oracle for the synchronous integer-gain Louvain."""
     sym = set()
