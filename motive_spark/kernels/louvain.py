@@ -281,7 +281,7 @@ def louvain_multilevel(
     second level costs a fraction of the first — the full Blondel
     multilevel shape, deterministic at every step."""
     edges = edges.select("src", "dst").cache()  # level-1 + contraction reuse
-    l1 = louvain_refine(edges, rounds=rounds1).cache()
+    l1 = louvain_refine(edges, rounds=rounds1)
     coarse = contract_graph(edges, l1)
     l2 = louvain_refine_weighted(coarse, rounds=rounds2)
     out = (
@@ -294,4 +294,10 @@ def louvain_multilevel(
         )
         .select("id", F.col("_c2").alias("community"))
     )
+    # both refine results are already backed by their final per-round
+    # localCheckpoints (eager), and l2's materialization inside
+    # louvain_refine_weighted consumed the coarse graph — so the edge
+    # cache has served both readers and can be released NOW instead of
+    # leaking an |E|-scale cache past the call (r6 review finding)
+    edges.unpersist()
     return out

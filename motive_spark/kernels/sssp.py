@@ -114,9 +114,9 @@ def shortest_paths(
         # successor is materialized: state is O(|sources|*|V|) rows,
         # and without this the kernel's storage footprint grows
         # linearly with rounds (measured: back-to-back runs in one JVM
-        # slowed 2-3x as dead blocks piled up ahead of driver GC)
-        if merged is not None:
-            merged.unpersist()
+        # slowed 2-3x as dead blocks piled up ahead of driver GC).
+        # Round 1's predecessor is the seed checkpoint itself.
+        (merged if merged is not None else state).unpersist()
         merged = new_merged
         state, frontier = new_state, new_frontier
         if round_timings is not None:
