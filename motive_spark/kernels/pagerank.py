@@ -186,19 +186,28 @@ def pagerank(
             ranks = ckpt.load(last)
             start_iter = last + 1
 
+    if strategy == "broadcast":
+        # the iterated state carries the stationary out_deg column so no
+        # superstep re-joins the base table (guide §2.4: the old loop
+        # evaluated ranks⋈base twice per iteration — once for the live
+        # sender, once for the dangling sum); the update expression is
+        # unchanged, so ranks are bit-identical.  A resumed checkpoint
+        # written by the (id, rank)-only layout re-attaches out_deg once.
+        if "out_deg" not in ranks.columns:
+            ranks = ranks.join(base, on="id").select("id", "out_deg", "rank")
+
     import time as _time
 
     for i in range(start_iter, max_iter):
         _t0 = _time.time()
         if strategy == "broadcast":
-            with_deg = ranks.join(base, on="id")
-            sender = F.broadcast(with_deg.where(F.col("out_deg") > 0))
+            sender = F.broadcast(ranks.where(F.col("out_deg") > 0))
             contribs = (
-                sender.join(e, on=[with_deg.id == e.src])
+                sender.join(e, on=[ranks.id == e.src])
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
             )
-            dang = with_deg.where(F.col("out_deg") == 0).agg(
+            dang = ranks.where(F.col("out_deg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
             )
         elif strategy == "copartition":
@@ -250,9 +259,19 @@ def pagerank(
                 else None
             )
 
+        carry: list[str] = []
         if strategy == "csr":
             # zeros already make the aggregation total over all vertices
             new_ranks = contribs.select(F.col("vid").alias("id"), "recv")
+        elif strategy == "broadcast":
+            # vertex universe comes from the state itself (same rows as
+            # base) and out_deg rides along into the next superstep
+            carry = ["out_deg"]
+            new_ranks = ranks.select("id", "out_deg").join(
+                contribs.hint("shuffle_hash"),
+                on=[ranks.id == contribs.vid],
+                how="left",
+            ).select("id", "out_deg", "recv")
         else:
             new_ranks = base.join(
                 contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left"
@@ -260,6 +279,7 @@ def pagerank(
         if has_dangling:
             new_ranks = new_ranks.crossJoin(F.broadcast(dang)).select(
                 "id",
+                *carry,
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
@@ -269,6 +289,7 @@ def pagerank(
         else:
             new_ranks = new_ranks.select(
                 "id",
+                *carry,
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
@@ -282,7 +303,8 @@ def pagerank(
         ckpt.annotate(superstep_sec=round(_time.time() - _t0, 3))
         if tol is not None:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
+                new_ranks.select("id", "rank")
+                .join(ranks.select("id", F.col("rank").alias("old")), on="id")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                 .collect()[0][0]
             )
@@ -474,28 +496,41 @@ def personalized_pagerank(
         # never a |V|-row broadcast at scale
         strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
-    ranks = base.select("id", F.col("s").alias("rank"))
+    # the iterated state carries the stationary (out_deg, s) columns so
+    # no superstep re-joins the base table (guide §2.4: the old loop
+    # evaluated ranks⋈base twice per iteration — once for the live
+    # sender, once for the dangling sum); the update expression is
+    # unchanged, so ranks are bit-identical
+    state = base.select(
+        "id", "out_deg", "s", F.col("s").alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        with_deg = ranks.join(base.select("id", "out_deg"), on="id")
-        live = with_deg.where(F.col("out_deg") > 0)
+        live = state.where(F.col("out_deg") > 0)
         sender = (
             F.broadcast(live)
             if strategy == "broadcast"
             else live.hint("shuffle_hash")
         )
         contribs = (
-            sender.join(e, on=[with_deg.id == e.src])
+            sender.join(e, on=[state.id == e.src])
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("recv"))
         )
-        dang = with_deg.where(F.col("out_deg") == 0).agg(
+        dang = state.where(F.col("out_deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
-        new_ranks = (
-            base.join(contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left")
+        new_state = (
+            state.select("id", "out_deg", "s")
+            .join(
+                contribs.hint("shuffle_hash"),
+                on=[state.id == contribs.vid],
+                how="left",
+            )
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
+                "out_deg",
+                "s",
                 (
                     F.lit(1.0 - damping) * F.col("s")
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
@@ -506,19 +541,22 @@ def personalized_pagerank(
         )
         if tol is not None:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
+                new_state.select("id", "rank")
+                .join(
+                    state.select("id", F.col("rank").alias("old")), on="id"
+                )
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                 .collect()[0][0]
             )
-            ranks = new_ranks
+            state = new_state
             if delta < tol:
                 break
         else:
-            ranks = new_ranks
+            state = new_state
     e.unpersist()
     base.unpersist()
     present.unpersist()
-    return ranks.select("id", "rank")
+    return state.select("id", "rank")
 
 
 def grouped_pagerank(
