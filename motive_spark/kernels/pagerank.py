@@ -376,8 +376,16 @@ def weighted_pagerank(
         # rank side against the stationary hash(src)-partitioned edges
         strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
 
-    ranks = base.select("id", (F.lit(1.0) / n).alias("rank"))
+    # the iterated state carries the stationary w_out column so no
+    # superstep re-joins base (guide §2.4); the sender stays a narrow
+    # (id, rank) projection because the edge table carries its own
+    # w_out copy for the contribution expression.  Update arithmetic is
+    # unchanged, so ranks are bit-identical.
+    state = base.select(
+        "id", "w_out", (F.lit(1.0) / n).alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
+        ranks = state.select("id", "rank")
         sender = (
             F.broadcast(ranks)
             if strategy == "broadcast"
@@ -388,16 +396,20 @@ def weighted_pagerank(
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("w_out")).alias("recv"))
         )
-        dang = (
-            ranks.join(base, on="id")
-            .where(F.col("w_out") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        dang = state.where(F.col("w_out") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")
         )
-        new_ranks = (
-            base.join(contribs.hint("shuffle_hash"), on=[base.id == contribs.vid], how="left")
+        new_state = (
+            state.select("id", "w_out")
+            .join(
+                contribs.hint("shuffle_hash"),
+                on=[state.id == contribs.vid],
+                how="left",
+            )
             .crossJoin(F.broadcast(dang))
             .select(
                 "id",
+                "w_out",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
@@ -408,18 +420,21 @@ def weighted_pagerank(
         )
         if tol is not None:
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="id")
+                new_state.select("id", "rank")
+                .join(
+                    state.select("id", F.col("rank").alias("old")), on="id"
+                )
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
                 .collect()[0][0]
             )
-            ranks = new_ranks
+            state = new_state
             if delta < tol:
                 break
         else:
-            ranks = new_ranks
+            state = new_state
     ew.unpersist()
     base.unpersist()
-    return ranks.select("id", "rank")
+    return state.select("id", "rank")
 
 
 def personalized_pagerank(
@@ -614,11 +629,21 @@ def grouped_pagerank(
     ew.count()
 
     d = float(damping)
-    ranks = base.join(ngt, "g").select(
-        "g", "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    # the iterated state carries the stationary per-vertex out_deg and
+    # per-group n columns, so no superstep re-joins base or ngt (guide
+    # §2.4: the old loop joined ranks⋈base for the dangling sum and
+    # base⋈ngt for the update every iteration).  The update expression
+    # is unchanged, so ranks are bit-identical.
+    state = (
+        base.join(ngt, "g")
+        .select(
+            "g", "id", "out_deg", "n", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
+        .repartition(npart, "g", "id")
+        .localCheckpoint()
     )
     for _ in range(max_iter):
-        rside = ranks.select(
+        rside = state.select(
             F.col("g").alias("_rg"),
             F.col("id").alias("_rid"),
             F.col("rank").alias("_rr"),
@@ -632,19 +657,19 @@ def grouped_pagerank(
             .agg(F.sum(F.col("_rr") / F.col("out_deg")).alias("recv"))
         )
         dang = (
-            ranks.join(base, ["g", "id"])
-            .where(F.col("out_deg") == 0)
+            state.where(F.col("out_deg") == 0)
             .groupBy("g")
             .agg(F.sum("rank").alias("dang"))
         )
-        ranks = (
-            base.select("g", "id")
+        state = (
+            state.select("g", "id", "out_deg", "n")
             .join(contribs, ["g", "id"], "left")
             .join(dang, "g", "left")
-            .join(ngt, "g")
             .select(
                 "g",
                 "id",
+                "out_deg",
+                "n",
                 (
                     F.lit(1.0 - d) / F.col("n")
                     + F.lit(d) * F.coalesce("recv", F.lit(0.0))
@@ -660,4 +685,4 @@ def grouped_pagerank(
     base.unpersist()
     ngt.unpersist()
     ew.unpersist()
-    return ranks.select(F.col("g").alias(group_col), "id", "rank")
+    return state.select(F.col("g").alias(group_col), "id", "rank")
