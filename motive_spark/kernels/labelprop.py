@@ -113,10 +113,13 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
             .select("id", (-F.col("top.neg")).alias("label"))
         )
-        # isolated vertices (none in a sym graph, but keep semantics total)
+        # isolated vertices (none in a sym graph, but keep semantics
+        # total).  The id universe comes from the materialized state —
+        # identical to verts by construction — so no superstep recomputes
+        # the verts distinct or pays a second join (guide §2.4)
         new_labels = (
-            verts.join(new_labels, on="id", how="left")
-            .join(labels.withColumnRenamed("label", "old"), on="id")
+            labels.select("id", F.col("label").alias("old"))
+            .join(new_labels, on="id", how="left")
             .select("id", F.coalesce("label", "old").alias("label"))
         )
         labels = ckpt.save(new_labels.repartition(npart, "id"), i)
@@ -164,8 +167,11 @@ def seeded_label_propagation(
     seed_tab = seeds.select(
         "id", F.col("label").cast("long").alias("seed_label")
     ).cache()
+    # the iterated state carries the stationary clamp column, so no
+    # round re-joins seed_tab or recomputes the verts distinct (guide
+    # §2.4); the update expression is unchanged
     state = verts.join(seed_tab, on="id", how="left").select(
-        "id", F.col("seed_label").alias("label")
+        "id", "seed_label", F.col("seed_label").alias("label")
     )
     for _ in range(iters):
         lab = state.where(F.col("label").isNotNull()).select(
@@ -186,17 +192,17 @@ def seeded_label_propagation(
             .select("id", F.col("b.label").alias("win"))
         )
         state = (
-            verts.join(seed_tab, on="id", how="left")
-            .join(winner, on="id", how="left")
-            .join(
-                state.withColumnRenamed("label", "old"), on="id", how="left"
+            state.select(
+                "id", "seed_label", F.col("label").alias("old")
             )
+            .join(winner, on="id", how="left")
             .select(
                 "id",
+                "seed_label",
                 F.coalesce("seed_label", "win", "old").alias("label"),
             )
             .localCheckpoint(eager=True)
         )
     sym.unpersist()
     seed_tab.unpersist()
-    return state
+    return state.select("id", "label")
