@@ -130,6 +130,9 @@ def strongly_connected_components(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("cand"))
             )
+            # carry the previous color in the same checkpoint so the
+            # convergence check scans the materialized round result —
+            # no second |V|-row join job per round (the CC pattern)
             new_color = (
                 color.join(cand, on="id", how="left")
                 .select(
@@ -137,17 +140,12 @@ def strongly_connected_components(
                     F.least(
                         "color", F.coalesce("cand", F.col("color"))
                     ).alias("color"),
+                    F.col("color").alias("old"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_color.join(
-                    color.withColumnRenamed("color", "old"), on="id"
-                )
-                .where(F.col("color") != F.col("old"))
-                .count()
-            )
-            color = new_color
+            changed = new_color.where(F.col("color") != F.col("old")).count()
+            color = new_color.select("id", "color")
             if changed == 0:
                 break
         # --- 2. backward containment within each color class -------------
@@ -174,6 +172,9 @@ def strongly_connected_components(
             "id", "color"
         ).localCheckpoint(eager=True)
         while True:
+            # materialize the frontier once: the count below and the
+            # union checkpoint both read it (the lazy form recomputed
+            # the whole semi/anti/join chain twice per round)
             newly = (
                 ce.join(
                     marked.withColumnRenamed("id", "dst").drop("color"),
@@ -184,6 +185,7 @@ def strongly_connected_components(
                 .distinct()
                 .join(marked.select("id"), on="id", how="left_anti")
                 .join(color, on="id")
+                .localCheckpoint(eager=True)
             )
             n_new = newly.count()
             if n_new == 0:
