@@ -54,9 +54,12 @@ def hits(
             "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
         )
 
-    state = verts.select(
-        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
-    )
+    # hub and auth ride as SEPARATE frames: only the hub side feeds the
+    # next superstep's gather, so the (id, hub) ⋈ (id, auth) state join
+    # runs once after the loop instead of once per iteration (guide
+    # §2.4 — the per-iteration join was pure packaging)
+    cur_hub = verts.select("id", F.lit(1.0 / n).alias("hub"))
+    cur_auth = verts.select("id", F.lit(1.0 / n).alias("auth"))
 
     def _side(score_df):
         return F.broadcast(score_df) if strategy == "broadcast" else (
@@ -67,7 +70,7 @@ def hits(
         # normalization totals ride as broadcast 1-row crossJoins (the
         # pagerank dangling-mass pattern) — ONE driver action per
         # superstep (the final localCheckpoint), no collect()s
-        hubs = state.select("id", "hub")
+        hubs = cur_hub
         recv_a = (
             e.join(_side(hubs), on=[hubs.id == e.src])
             .groupBy(F.col("dst").alias("id"))
@@ -112,8 +115,8 @@ def hits(
         )
 
         # shallow two-checkpoint lineage — no third action needed
-        state = hub.join(auth, on="id").select("id", "hub", "auth")
+        cur_hub, cur_auth = hub, auth
 
     e.unpersist()
     verts.unpersist()
-    return state
+    return cur_hub.join(cur_auth, on="id").select("id", "hub", "auth")
