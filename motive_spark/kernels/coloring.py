@@ -104,10 +104,15 @@ def greedy_coloring(
             .groupBy("src")
             .agg(F.max("npri").alias("max_nbr"))
         )
+        # winners feeds both the used-color gather and the candidate
+        # explode; used feeds both its count and the anti-join — cache
+        # each so the multi-join subtrees evaluate once per round
+        # (released after the round's checkpoint materializes)
         winners = (
             unc.join(nbr, on=[unc.id == nbr.src], how="left")
             .where(F.col("max_nbr").isNull() | (F.col("pri") > F.col("max_nbr")))
             .select("id")
+            .cache()
         )
         colored = state.where(F.col("color").isNotNull()).select(
             F.col("id").alias("dst"), F.col("color").alias("ncolor")
@@ -118,6 +123,7 @@ def greedy_coloring(
             .join(colored, on="dst")
             .select(F.col("src").alias("id"), "ncolor")
             .distinct()
+            .cache()
         )
         n_used = used.groupBy("id").agg(F.count(F.lit(1)).alias("n_used"))
         cand = (
@@ -150,5 +156,7 @@ def greedy_coloring(
             .localCheckpoint(eager=True)
         )
         state.unpersist()  # superseded round's blocks are dead
+        winners.unpersist()
+        used.unpersist()
         state = new_state
     return state.select("id", "color")
