@@ -126,6 +126,9 @@ def connected_components(
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("component").alias("nbr_component"))
             )
+            # the previous label rides along as `old` from here on, so
+            # the convergence check needs no extra join at all (the
+            # least-merge already reads it)
             new_labels = (
                 labels.join(nbr_min, on="id", how="left")
                 .select(
@@ -134,6 +137,7 @@ def connected_components(
                         F.col("component"),
                         F.coalesce("nbr_component", F.col("component")),
                     ).alias("component"),
+                    F.col("component").alias("old"),
                 )
             )
         pre_jump = None
@@ -143,6 +147,11 @@ def connected_components(
             # diameter) instead of O(diameter).  Cache first: the jump is a
             # self-join and must not recompute the neighbor-min pass twice.
             new_labels = pre_jump = new_labels.cache()
+            carry_old = (
+                [F.col("l.old").alias("old")]
+                if strategy != "csr"
+                else []
+            )
             new_labels = (
                 new_labels.alias("l")
                 .join(
@@ -160,14 +169,19 @@ def connected_components(
                         F.col("l.component"),
                         F.coalesce(F.col("r.rep_c"), F.col("l.component")),
                     ).alias("component"),
+                    *carry_old,
                 )
             )
-        # carry the previous label so the convergence check reads the same
-        # cached pass — no second join job per round
-        new_labels = new_labels.join(
-            labels_side(labels.select("id", F.col("component").alias("old"))),
-            on="id",
-        )
+        if strategy == "csr":
+            # csr's single aggregation loses which input row was the
+            # self label — attach the previous label with one join (the
+            # convergence check then reads the same cached pass)
+            new_labels = new_labels.join(
+                labels_side(
+                    labels.select("id", F.col("component").alias("old"))
+                ),
+                on="id",
+            )
         new_labels = ckpt.save(new_labels, i)
         if pre_jump is not None:
             pre_jump.unpersist()
