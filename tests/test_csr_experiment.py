@@ -386,3 +386,31 @@ def test_gather_sum_2d_csr_side_stationary(spark):
     got = {r.id: r.gathered for r in out.collect()}
     assert got == {k: float(v) for k, v in want.items()}
     csr2.unpersist()
+
+
+def test_checkpoint_resume_from_old_rank_only_layout(spark, tmp_path):
+    """r6 batch: the broadcast-path state now carries out_deg in its
+    checkpoints.  A directory written by the old (id, rank)-only layout
+    must still resume bit-identically — the loop re-attaches out_deg
+    once before iterating."""
+    from motive_spark.kernels import pagerank
+
+    pairs = random_pairs(50, 300, seed=23)
+    edges = edges_df(spark, pairs)
+    d = str(tmp_path / "ck_old")
+    pagerank(edges, max_iter=3, tol=None, checkpoint_dir=d)
+    # strip the state back to the pre-batch (id, rank) schema in place
+    last = os.path.join(d, "iter=0002")
+    narrow = spark.read.parquet(last).select("id", "rank")
+    tmp = os.path.join(d, "_narrow")
+    narrow.write.mode("overwrite").parquet(tmp)
+    rewritten = spark.read.parquet(tmp)
+    rewritten.write.mode("overwrite").parquet(last)
+    assert spark.read.parquet(last).columns == ["id", "rank"]
+    resumed = pagerank(
+        edges, max_iter=8, tol=None, checkpoint_dir=d, resume=True
+    )
+    straight = pagerank(edges, max_iter=8, tol=None)
+    a = {r.id: r.rank for r in resumed.collect()}
+    b = {r.id: r.rank for r in straight.collect()}
+    assert a == b
