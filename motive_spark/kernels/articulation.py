@@ -194,8 +194,12 @@ def articulation_points(
                 *[fn(n).alias(f"_d_{n}") for n, fn in combine_cols],
                 F.count(F.lit(1)).alias("_nch"),
             )
+            # survivors are exactly the pending>0 rows (ids are unique
+            # and pending is never NULL), so the anti-join against the
+            # finalized set is a plain filter — one less shuffle join
+            # per fold round
             st = (
-                st.join(out.select("id"), "id", "left_anti")
+                st.where(F.col("pending") != 0)
                 .join(fold, "id", "left")
                 .select(
                     "id",
