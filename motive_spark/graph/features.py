@@ -104,9 +104,17 @@ def negative_samples(
     from motive_spark.graph.normalize import dense_index
 
     e = edges.select("src", "dst")
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # the symmetrized set feeds FOUR separate actions/consumers (the
+    # |V| count, the dense_index materialization, the candidate
+    # derivation and the known-edge anti-join); without a cache each
+    # one re-evaluates the caller's edge derivation from scratch
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
     verts = sym.select(F.col("src").alias("id")).distinct()
     n = verts.count()
     # identical rank values to row_number().over(Window.orderBy("id"))-1,
