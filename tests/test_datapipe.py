@@ -882,6 +882,57 @@ def test_blocked_link_pairs_bounded_levenshtein_equivalence(spark):
     assert got == want
 
 
+def test_blocked_link_pairs_distinct_name_expansion(spark):
+    """r6: comparison runs over DISTINCT (block, name) and expands back
+    to row pairs — duplicate-heavy inputs, identical-name pairs under
+    min_distance=0, NULL names, and the sig-prefilter fallback path
+    (max_distance > 2) must all replay the naive row-pair semantics."""
+    import itertools
+
+    from pyspark.sql import functions as SF
+
+    from motive_spark.datapipe import blocked_link_pairs
+
+    def lev(a, b):
+        if a is None or b is None:
+            return None
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "red bolt"), (2, "red bolt"), (3, "red bolt"),  # dup name x3
+        (4, "ted bolt"), (5, "red colt"), (6, None), (7, None),
+        (8, ""), (9, ""), (10, "x"), (11, "blue bolt"),
+    ]
+    df = spark.createDataFrame(rows, "k long, nm string")
+    names = dict(rows)
+
+    def brute(md, mind):
+        out = {}
+        for a, b in itertools.combinations(sorted(names), 2):
+            d = lev(names[a], names[b])
+            if d is not None and mind <= d <= md:
+                out[(a, b)] = d
+        return out
+
+    for md, mind in [(2, 0), (2, 1), (0, 0), (3, 0), (4, 1)]:
+        got = {
+            (r.a_k, r.b_k): r.distance
+            for r in blocked_link_pairs(
+                df, "k", "nm", [SF.lit(1)], max_distance=md,
+                min_distance=mind,
+            ).collect()
+        }
+        assert got == brute(md, mind), f"md={md} mind={mind}"
+
+
 def test_countmin_sketch_guarantee(spark):
     """CMS one-sided error: estimate >= exact for EVERY token, exact
     for tokens with no collisions; sketch size bounded by depth*width."""
