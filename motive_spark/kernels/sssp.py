@@ -71,8 +71,14 @@ def shortest_paths(
         .cache()
     )
 
+    srcs = sorted({int(s) for s in sources})
+    if len(srcs) > 1:
+        return _shortest_paths_dense(
+            spark, e, srcs, rounds, max_rounds, round_timings
+        )
+
     state = spark.createDataFrame(
-        [(int(s), int(s), 0) for s in sorted(set(sources))],
+        [(int(s), int(s), 0) for s in srcs],
         "source long, id long, dist long",
     ).localCheckpoint(eager=True)
     frontier = state
@@ -137,6 +143,100 @@ def shortest_paths(
     # state/frontier are narrow projections of the final ``merged``
     # checkpoint, which stays alive as the returned result's backing
     return state
+
+
+def _shortest_paths_dense(
+    spark,
+    e: DataFrame,
+    srcs: list[int],
+    rounds: int | None,
+    max_rounds: int,
+    round_timings: list | None,
+) -> DataFrame:
+    """Multi-source rounds with ONE distance column per source (the
+    hyperball dense-register shape): each relax round joins |E| edge
+    rows once instead of |sources| * |E| long-format rows, and the
+    fused old-as-second-min aggregation runs per column.  The frontier
+    moves at VERTEX granularity — a vertex improved for any source
+    re-relaxes all its columns — which relaxes a superset of the
+    long-format (source, id) frontier and a subset of full synchronous
+    relaxation; both bracket the same fixpoint recurrence, so distances
+    are identical (integer mins, no floats).  Output is unpivoted back
+    to the long (source, id, dist) contract, reached vertices only."""
+    n = len(srcs)
+    cols = [f"d{i}" for i in range(n)]
+    ocols = [f"o{i}" for i in range(n)]
+    schema = "id long, " + ", ".join(f"{c} long" for c in cols)
+    state = spark.createDataFrame(
+        [
+            tuple([s] + [0 if i == j else None for i in range(n)])
+            for j, s in enumerate(srcs)
+        ],
+        schema,
+    ).localCheckpoint(eager=True)
+    frontier = state
+
+    fixed = rounds is not None
+    n_rounds = rounds if fixed else max_rounds
+    converged = False
+    merged = None
+    improved_any = None
+    for _ in range(n_rounds):
+        _t0 = _time.time() if round_timings is not None else 0.0
+        relax = frontier.join(e, on=[frontier.id == e.src]).select(
+            F.col("dst").alias("id"),
+            *[(F.col(c) + F.col("w")).alias(c) for c in cols],
+        )
+        new_merged = (
+            state.select(
+                "id", *cols, *[F.col(c).alias(o) for c, o in zip(cols, ocols)]
+            )
+            .unionByName(
+                relax.select(
+                    "id",
+                    *cols,
+                    *[F.lit(None).cast("long").alias(o) for o in ocols],
+                )
+            )
+            .groupBy("id")
+            .agg(
+                *[F.min(c).alias(c) for c in cols],
+                *[F.min(o).alias(o) for o in ocols],
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_state = new_merged.select("id", *cols)
+        improved_any = None
+        for c, o in zip(cols, ocols):
+            imp = F.col(c).isNotNull() & (
+                F.col(o).isNull() | (F.col(c) < F.col(o))
+            )
+            improved_any = imp if improved_any is None else improved_any | imp
+        new_frontier = new_merged.where(improved_any).select("id", *cols)
+        (merged if merged is not None else state).unpersist()
+        merged = new_merged
+        state, frontier = new_state, new_frontier
+        if round_timings is not None:
+            round_timings.append(_time.time() - _t0)
+        if not fixed and frontier.limit(1).count() == 0:
+            converged = True
+            break
+    if not fixed and not converged:
+        warnings.warn(
+            f"shortest_paths: not converged within max_rounds={max_rounds};"
+            " distances are the best found so far",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    e.unpersist()
+    stack_args = ", ".join(f"{int(s)}L, d{i}" for i, s in enumerate(srcs))
+    return (
+        state.select(
+            "id", F.expr(f"stack({n}, {stack_args}) as (source, dist)")
+        )
+        .where(F.col("dist").isNotNull())
+        .select("source", "id", "dist")
+    )
 
 
 def harmonic_centrality(

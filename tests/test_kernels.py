@@ -815,6 +815,38 @@ def test_shortest_paths_matches_dijkstra(spark):
     assert any("not converged" in str(x.message) for x in rec)
 
 
+def test_shortest_paths_dense_multi_source_matches_single(spark):
+    """r6: multi-source runs pack one distance column per source and
+    relax at vertex granularity — under TRUNCATED fixed rounds the
+    unpivoted output must still equal the union of independent
+    single-source runs (the converged Dijkstra oracle cannot see a
+    truncation divergence)."""
+    from motive_spark.kernels import shortest_paths
+
+    rng = random.Random(31)
+    pairs = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(
+        [(a, b, (a + b) % 4 + 1) for a, b in pairs],
+        "src long, dst long, mult long",
+    )
+    for r, wcol in [(1, None), (2, None), (3, "mult"), (2, "mult")]:
+        multi = sorted(
+            tuple(x)
+            for x in shortest_paths(
+                edges, [0, 1, 2, 3], weight_col=wcol, rounds=r
+            ).collect()
+        )
+        single = sorted(
+            tuple(x)
+            for s in [0, 1, 2, 3]
+            for x in shortest_paths(
+                edges, [s], weight_col=wcol, rounds=r
+            ).collect()
+        )
+        assert multi == single, (r, wcol)
+
+
 def test_harmonic_centrality_known_graph(spark):
     """Star graph: the hub is one hop from every source, leaves are two
     hops from other leaves; exact integer-quantized contributions."""
