@@ -71,8 +71,12 @@ def betweenness_sampled(
         .localCheckpoint(eager=True)
     )
 
+    srcs = sorted({int(s) for s in sources})
+    if len(srcs) > 1:
+        return _betweenness_dense(spark, e, verts, srcs, depth, scale)
+
     state = spark.createDataFrame(
-        [(int(s), int(s), 0, 1) for s in sorted(set(sources))],
+        [(int(s), int(s), 0, 1) for s in srcs],
         "source long, id long, dist int, sigma long",
     ).localCheckpoint(eager=True)
     frontier = state
@@ -173,6 +177,200 @@ def betweenness_sampled(
         .where(F.col("dist") > 0)
         .groupBy("id")
         .agg(F.sum("delta").alias("bc_q"))
+    )
+    out = (
+        verts.join(bc, on="id", how="left")
+        .select("id", F.coalesce("bc_q", F.lit(0)).alias("bc_q"))
+    )
+    out = out.localCheckpoint(eager=True)
+    for tmp in (e, verts, backing, delta):
+        tmp.unpersist()
+    return out
+
+
+def _betweenness_dense(
+    spark,
+    e: DataFrame,
+    verts: DataFrame,
+    srcs: list[int],
+    depth: int,
+    scale: int,
+) -> DataFrame:
+    """Multi-source batch with one (dist, sigma) column pair per source
+    (the dense shortest-paths shape): each forward level joins |E|
+    edge rows once instead of once per source.  Sigma sums are NOT
+    idempotent, so the vertex-granularity frontier carries per-source
+    NULL lanes: a lane holds the newly-discovered sigma ONLY for
+    sources that first reached the vertex this level — min/sum ignore
+    the NULL lanes, so every per-source aggregation sees exactly the
+    rows the long-format kernel would.  The backward Brandes pass runs
+    the same way: per-lane gates ``dist_i == lvl`` / ``dist_i ==
+    lvl + 1`` restrict each term to its source's level pair, and the
+    quantized integer expression is unchanged — results are bit-equal
+    to the long format."""
+    n = len(srcs)
+    dcols = [f"d{i}" for i in range(n)]
+    scols = [f"s{i}" for i in range(n)]
+
+    schema = (
+        "id long, "
+        + ", ".join(f"{c} int" for c in dcols)
+        + ", "
+        + ", ".join(f"{c} long" for c in scols)
+    )
+    state = spark.createDataFrame(
+        [
+            tuple(
+                [s]
+                + [0 if i == j else None for i in range(n)]
+                + [1 if i == j else None for i in range(n)]
+            )
+            for j, s in enumerate(srcs)
+        ],
+        schema,
+    ).localCheckpoint(eager=True)
+    frontier = state  # lanes: sigma where newly discovered, else NULL
+    backing = state
+
+    for lvl in range(1, depth + 1):
+        relax = frontier.join(e, on=[frontier.id == e.src]).select(
+            F.col("dst").alias("id"),
+            *[
+                F.when(F.col(s).isNotNull(), F.lit(lvl))
+                .cast("int")
+                .alias(d)
+                for d, s in zip(dcols, scols)
+            ],
+            *scols,
+            F.lit(0).alias("tag"),
+        )
+        merged = (
+            state.select("id", *dcols, *scols, F.lit(1).alias("tag"))
+            .unionByName(relax)
+            .groupBy("id")
+            .agg(
+                *[F.min(d).alias(d) for d in dcols],
+                *[
+                    F.min(F.when(F.col("tag") == 1, F.col(s))).alias(
+                        f"old_{s}"
+                    )
+                    for s in scols
+                ],
+                *[
+                    F.sum(F.when(F.col("tag") == 0, F.col(s))).alias(
+                        f"cand_{s}"
+                    )
+                    for s in scols
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        backing.unpersist()
+        backing = merged
+        state = merged.select(
+            "id",
+            *dcols,
+            *[
+                F.coalesce(f"old_{s}", f"cand_{s}").alias(s)
+                for s in scols
+            ],
+        )
+        any_new = None
+        for s in scols:
+            new_i = F.col(f"old_{s}").isNull() & F.col(
+                f"cand_{s}"
+            ).isNotNull()
+            any_new = new_i if any_new is None else any_new | new_i
+        frontier = merged.where(any_new).select(
+            "id",
+            *dcols,
+            *[
+                F.when(F.col(f"old_{s}").isNull(), F.col(f"cand_{s}"))
+                .alias(s)
+                for s in scols
+            ],
+        )
+
+    # backward accumulation, dense lanes; each (source, vertex) receives
+    # its delta at exactly one level, so the per-level merge aggregation
+    # sums one non-null value per lane
+    lcols = [f"l{i}" for i in range(n)]
+    delta = spark.createDataFrame(
+        [], "id long, " + ", ".join(f"{c} long" for c in lcols)
+    )
+    for lvl in range(depth - 1, 0, -1):
+        any_v = None
+        for d in dcols:
+            c = F.col(d) == lvl
+            any_v = c if any_v is None else any_v | c
+        v = state.where(any_v).select(
+            F.col("id").alias("vid"),
+            *[
+                F.when(F.col(d) == lvl, F.col(s)).alias(f"v{s}")
+                for d, s in zip(dcols, scols)
+            ],
+        )
+        any_w = None
+        for d in dcols:
+            c = F.col(d) == lvl + 1
+            any_w = c if any_w is None else any_w | c
+        w = (
+            state.where(any_w)
+            .select(
+                F.col("id").alias("wid"),
+                *[
+                    F.when(F.col(d) == lvl + 1, F.col(s)).alias(f"w{s}")
+                    for d, s in zip(dcols, scols)
+                ],
+            )
+            .join(
+                delta.select(
+                    F.col("id").alias("wid"),
+                    *[F.col(c).alias(f"w{c}") for c in lcols],
+                ),
+                on="wid",
+                how="left",
+            )
+        )
+        terms = [
+            F.sum(
+                F.when(
+                    F.col(f"v{s}").isNotNull()
+                    & F.col(f"w{s}").isNotNull(),
+                    F.expr(
+                        f"v{s} * ({scale} + coalesce(w{c}, 0)) DIV w{s}"
+                    ),
+                )
+            ).alias(c)
+            for s, c in zip(scols, lcols)
+        ]
+        d_lvl = (
+            v.join(e, on=[v.vid == e.src])
+            .join(w, on=[F.col("dst") == w.wid])
+            .groupBy(F.col("vid").alias("id"))
+            .agg(*terms)
+        )
+        new_delta = (
+            delta.unionByName(d_lvl)
+            .groupBy("id")
+            .agg(*[F.sum(c).alias(c) for c in lcols])
+            .localCheckpoint(eager=True)
+        )
+        delta.unpersist()
+        delta = new_delta
+
+    bc_terms = [
+        F.when(
+            (F.col(d) > 0) & F.col(c).isNotNull(), F.col(c)
+        ).otherwise(F.lit(0))
+        for d, c in zip(dcols, lcols)
+    ]
+    bc_sum = bc_terms[0]
+    for t in bc_terms[1:]:
+        bc_sum = bc_sum + t
+    bc = (
+        delta.join(state.select("id", *dcols), on="id")
+        .select("id", bc_sum.alias("bc_q"))
     )
     out = (
         verts.join(bc, on="id", how="left")

@@ -1201,6 +1201,27 @@ def test_betweenness_matches_python_replay(spark):
         assert got[v] == want.get(v, 0), (v, got[v], want.get(v, 0))
 
 
+def test_betweenness_dense_matches_sum_of_singles(spark):
+    """r6: the dense per-source lane layout must equal the sum of
+    independent single-source runs (bc is additive over sources) at a
+    truncated depth, where a lane-gating bug would surface as sigma
+    leakage between sources."""
+    from motive_spark.kernels import betweenness_sampled
+
+    pairs = random_pairs(25, 50, seed=13, directed=False)
+    edges = edges_df(spark, pairs)
+    srcs = [0, 1, 2, 3]
+    multi = {
+        r.id: r.bc_q
+        for r in betweenness_sampled(edges, srcs, depth=3).collect()
+    }
+    summed: dict[int, int] = {}
+    for s in srcs:
+        for r in betweenness_sampled(edges, [s], depth=3).collect():
+            summed[r.id] = summed.get(r.id, 0) + r.bc_q
+    assert multi == summed
+
+
 def _py_hyperball(pairs, rounds, seed, rmax):
     """Pure-python register replay of the md5-derived HLL union rounds."""
     import hashlib
