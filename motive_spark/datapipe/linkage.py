@@ -132,7 +132,17 @@ def blocked_link_pairs(
             .drop("_bc")
         )
     # ---- comparison over DISTINCT (block, name) ---------------------
-    dn = base.select("_blk", "_nm").distinct()
+    # cached: feeds the path decision below plus both candidate sides
+    dn = base.select("_blk", "_nm").distinct().cache()
+    # the deletion neighborhood is ~len^2/2 variants per distinct name
+    # — quadratic in name LENGTH, so it is only the right candidate
+    # generator for genuinely name-shaped strings.  The path must be
+    # chosen globally (a per-row mix would lose pairs straddling the
+    # two generators), so one tiny agg decides it from the data.
+    use_deletion = max_distance <= 2
+    if use_deletion:
+        mx = dn.agg(F.max(F.length("_nm")).alias("m")).collect()[0]["m"]
+        use_deletion = mx is not None and mx <= 128
     # distinct column names per side: a self-join on the same lineage
     # resolves `a._blk == b._blk` as trivially true (repo gotcha) —
     # rename, join, drop
@@ -142,7 +152,7 @@ def blocked_link_pairs(
     nb = dn.select(
         F.col("_blk").alias("_blk_b"), F.col("_nm").alias("_n2")
     )
-    if max_distance <= 2:
+    if use_deletion:
         # deletion-neighborhood candidate join.  Soundness: take an
         # optimal alignment witnessing levenshtein(a, b) = d' <= d;
         # deleting from `a` its deleted/substituted characters (<= d')

@@ -932,6 +932,27 @@ def test_blocked_link_pairs_distinct_name_expansion(spark):
         }
         assert got == brute(md, mind), f"md={md} mind={mind}"
 
+    # long names (> the deletion-neighborhood length guard) must fall
+    # back to the self-join path and still replay exactly
+    long_rows = [
+        (1, "q" * 200), (2, "q" * 199 + "z"), (3, "q" * 150),
+        (4, "q" * 200),
+    ]
+    ldf = spark.createDataFrame(long_rows, "k long, nm string")
+    lnames = dict(long_rows)
+    got = {
+        (r.a_k, r.b_k): r.distance
+        for r in blocked_link_pairs(
+            ldf, "k", "nm", [SF.lit(1)], max_distance=2, min_distance=0
+        ).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(lnames), 2):
+        d = lev(lnames[a], lnames[b])
+        if d <= 2:
+            want[(a, b)] = d
+    assert got == want
+
 
 def test_countmin_sketch_guarantee(spark):
     """CMS one-sided error: estimate >= exact for EVERY token, exact
