@@ -32,9 +32,10 @@ Distributed shape — everything is a fixed number of *passes*, each a
 per-level loop of small joins over the tree (lineage truncated every
 round; round count = tree height, the documented chain-graph caveat):
 
-  1. Boruvka spanning forest (unique under the (w, src, dst) order);
-  2. roots = hash-min components of the forest (min vertex id);
-  3. BFS rooting → (parent, depth) per level;
+  1.+2.+3. roots = hash-min components of the full graph (min vertex
+     id), then BFS rooting → (parent, depth) per level — the spanning
+     tree IS the BFS forest (min-neighbor parents), discovered while
+     rooting;
   4. bottom-up fold → subtree sizes;
   5. top-down pass → per-component preorder (sibling offsets = one
      windowed prefix-sum per parent group, bounded by fan-out);
@@ -48,7 +49,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from motive_spark.kernels.components import connected_components
-from motive_spark.kernels.msf import boruvka_msf
 
 
 def articulation_points(
@@ -57,8 +57,9 @@ def articulation_points(
     max_rounds: int = 300,
 ) -> DataFrame:
     """Returns (id) — the articulation vertices of the undirected
-    graph.  ``weight_col`` only selects the spanning tree; the
-    cut-vertex set is tree-independent."""
+    graph.  ``weight_col`` is accepted for API compatibility but no
+    longer influences the internal spanning tree (the cut-vertex set
+    is tree-independent; the tree is the BFS forest)."""
     spark = edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -77,28 +78,29 @@ def articulation_points(
         .agg(F.min("w").alias("w"))
         .cache()
     )
-    tree = boruvka_msf(und, weight_col="w").select("src", "dst").cache()
-    tree.count()
-    nontree = (
+    # ---- pass 1+2+3 fused: roots from hash-min components of the FULL
+    # graph, and the spanning tree IS the BFS forest discovered while
+    # rooting.  Tarjan–Vishkin is valid for ANY rooted spanning tree
+    # (module docstring), so the Boruvka MSF construction was pure
+    # overhead: dropping it removes the whole multi-round MSF phase and
+    # runs components over the full graph, whose hash-min pointer
+    # jumping converges in no more rounds than on the (higher-diameter)
+    # tree.  ``weight_col`` is retained for API compatibility; the
+    # output never depended on the tree choice.
+    sym = (
         und.select("src", "dst")
-        .join(tree, ["src", "dst"], "left_anti")
-        .cache()
-    )
-    t2 = (
-        tree.unionByName(
-            tree.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(npart, "src")
         .cache()
     )
-
-    # ---- pass 2+3: roots, then BFS rooting (parent, depth) ----------
     roots = (
-        connected_components(tree)
+        connected_components(und.select("src", "dst"))
         .select(F.col("component").alias("id"))
         .distinct()
     )
-    assigned = (
+    seed = (
         roots.select(
             "id",
             F.lit(None).cast("long").alias("parent"),
@@ -107,8 +109,9 @@ def articulation_points(
         .repartition(npart, "id")
         .localCheckpoint()
     )
-    frontier = assigned
-    prev_ids = assigned.select("id")
+    state = seed
+    backing = seed
+    frontier = seed.select("id")
     level = 0
     while not frontier.isEmpty():
         level += 1
@@ -116,31 +119,67 @@ def articulation_points(
             raise RuntimeError(
                 "articulation_points: BFS rooting exceeded max_rounds"
             )
-        # t2 is a TREE: a level-k vertex's neighbors are exactly its
-        # parent (level k-1) and its children (level k+1), so the
-        # visited check only needs the PREVIOUS level — never an
-        # anti-join against the whole growing assigned table (which
-        # made every level's job scan O(level) accumulated blocks)
-        nxt = (
-            t2.join(frontier.select(F.col("id").alias("src")), "src")
-            .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
-            .join(prev_ids, "id", "left_anti")
-            .withColumn("depth", F.lit(level))
+        # full-graph BFS level with the fused union-agg (the CC/SSSP
+        # exchange shape): first assignment wins, candidate parents
+        # resolve deterministically to the min neighbor id.  old_depth
+        # is the row-exists marker (depth is never NULL; parent IS
+        # NULL for roots, so it cannot distinguish the cases).
+        relax = sym.join(
+            frontier.select(F.col("id").alias("src")), "src"
+        ).select(F.col("dst").alias("id"), F.col("src").alias("parent"))
+        merged = (
+            state.select("id", "parent", "depth", F.lit(1).alias("tag"))
+            .unionByName(
+                relax.select(
+                    "id",
+                    "parent",
+                    F.lit(level).alias("depth"),
+                    F.lit(0).alias("tag"),
+                )
+            )
+            .groupBy("id")
+            .agg(
+                F.min(F.when(F.col("tag") == 1, F.col("depth"))).alias(
+                    "old_depth"
+                ),
+                F.min(F.when(F.col("tag") == 1, F.col("parent"))).alias(
+                    "old_parent"
+                ),
+                F.min(F.when(F.col("tag") == 0, F.col("parent"))).alias(
+                    "new_parent"
+                ),
+            )
             .localCheckpoint()
         )
-        # accumulate as a LAZY union of the per-level checkpoints,
-        # truncated every 8th level — an unbounded lazy union grows the
-        # logical plan linearly and Catalyst re-analysis quadratically
-        # (the superlinear-analysis hazard pagerank.py documents)
-        assigned = assigned.unionByName(nxt)
-        if level % 8 == 0:
-            assigned = assigned.localCheckpoint()
-        prev_ids = frontier.select("id")
-        frontier = nxt
+        backing.unpersist()
+        backing = merged
+        state = merged.select(
+            "id",
+            F.when(F.col("old_depth").isNotNull(), F.col("old_parent"))
+            .otherwise(F.col("new_parent"))
+            .alias("parent"),
+            F.coalesce("old_depth", F.lit(level)).alias("depth"),
+        )
+        frontier = merged.where(F.col("old_depth").isNull()).select("id")
     height = level
     # one materialization of the final rooted tree for the many
     # downstream consumers (folds, preorder, aux construction)
-    assigned = assigned.localCheckpoint()
+    assigned = state.localCheckpoint()
+    backing.unpersist()
+    tree = (
+        assigned.where(F.col("parent").isNotNull())
+        .select(
+            F.least("parent", "id").alias("src"),
+            F.greatest("parent", "id").alias("dst"),
+        )
+        .cache()
+    )
+    nontree = (
+        und.select("src", "dst")
+        .join(tree, ["src", "dst"], "left_anti")
+        .cache()
+    )
+    t2 = sym  # kept name for the downstream unpersist bookkeeping
 
     children_of = assigned.where(F.col("parent").isNotNull()).select(
         F.col("parent").alias("id"), F.col("id").alias("child")

@@ -1763,6 +1763,12 @@ def test_articulation_points_matches_tarjan(spark):
         + [(3, 10)],                                       # cliques+bridge
         [(0, 1), (1, 2), (2, 0)],                          # triangle: none
         [(0, 1), (1, 2), (1, 3), (3, 4)],                  # star-ish tree
+        # r6: 12-deep chain into a cycle — many BFS levels, so the
+        # fused full-graph rooting (first-assignment-wins agg) runs
+        # through its multi-level regime, and every chain vertex is a
+        # cut vertex while the cycle contributes none
+        [(i, i + 1) for i in range(12)]
+        + [(12, 13), (13, 14), (14, 12)],
     ]
     for pairs in fixtures:
         got = {
