@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from motive_spark.kernels.components import connected_components
+from motive_spark.kernels.forest import bfs_forest
 
 
 def articulation_points(
@@ -78,94 +79,14 @@ def articulation_points(
         .agg(F.min("w").alias("w"))
         .cache()
     )
-    # ---- pass 1+2+3 fused: roots from hash-min components of the FULL
-    # graph, and the spanning tree IS the BFS forest discovered while
-    # rooting.  Tarjan–Vishkin is valid for ANY rooted spanning tree
-    # (module docstring), so the Boruvka MSF construction was pure
-    # overhead: dropping it removes the whole multi-round MSF phase and
-    # runs components over the full graph, whose hash-min pointer
-    # jumping converges in no more rounds than on the (higher-diameter)
-    # tree.  ``weight_col`` is retained for API compatibility; the
-    # output never depended on the tree choice.
-    sym = (
-        und.select("src", "dst")
-        .unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(npart, "src")
-        .cache()
-    )
-    roots = (
-        connected_components(und.select("src", "dst"))
-        .select(F.col("component").alias("id"))
-        .distinct()
-    )
-    seed = (
-        roots.select(
-            "id",
-            F.lit(None).cast("long").alias("parent"),
-            F.lit(0).alias("depth"),
-        )
-        .repartition(npart, "id")
-        .localCheckpoint()
-    )
-    state = seed
-    backing = seed
-    frontier = seed.select("id")
-    level = 0
-    while not frontier.isEmpty():
-        level += 1
-        if level > max_rounds:
-            raise RuntimeError(
-                "articulation_points: BFS rooting exceeded max_rounds"
-            )
-        # full-graph BFS level with the fused union-agg (the CC/SSSP
-        # exchange shape): first assignment wins, candidate parents
-        # resolve deterministically to the min neighbor id.  old_depth
-        # is the row-exists marker (depth is never NULL; parent IS
-        # NULL for roots, so it cannot distinguish the cases).
-        relax = sym.join(
-            frontier.select(F.col("id").alias("src")), "src"
-        ).select(F.col("dst").alias("id"), F.col("src").alias("parent"))
-        merged = (
-            state.select("id", "parent", "depth", F.lit(1).alias("tag"))
-            .unionByName(
-                relax.select(
-                    "id",
-                    "parent",
-                    F.lit(level).alias("depth"),
-                    F.lit(0).alias("tag"),
-                )
-            )
-            .groupBy("id")
-            .agg(
-                F.min(F.when(F.col("tag") == 1, F.col("depth"))).alias(
-                    "old_depth"
-                ),
-                F.min(F.when(F.col("tag") == 1, F.col("parent"))).alias(
-                    "old_parent"
-                ),
-                F.min(F.when(F.col("tag") == 0, F.col("parent"))).alias(
-                    "new_parent"
-                ),
-            )
-            .localCheckpoint()
-        )
-        backing.unpersist()
-        backing = merged
-        state = merged.select(
-            "id",
-            F.when(F.col("old_depth").isNotNull(), F.col("old_parent"))
-            .otherwise(F.col("new_parent"))
-            .alias("parent"),
-            F.coalesce("old_depth", F.lit(level)).alias("depth"),
-        )
-        frontier = merged.where(F.col("old_depth").isNull()).select("id")
-    height = level
-    # one materialization of the final rooted tree for the many
-    # downstream consumers (folds, preorder, aux construction)
-    assigned = state.localCheckpoint()
-    backing.unpersist()
+    # ---- pass 1+2+3 fused: roots + rooted BFS forest in one shared
+    # construction (kernels/forest.py).  Tarjan–Vishkin is valid for
+    # ANY rooted spanning tree (module docstring), so the old Boruvka
+    # MSF phase was pure overhead, and the BFS forest's minimal height
+    # shrinks every height-bound pass below.  ``weight_col`` is
+    # retained for API compatibility; the output never depended on the
+    # tree choice.
+    assigned, roots, sym, height = bfs_forest(und, max_rounds=max_rounds)
     tree = (
         assigned.where(F.col("parent").isNotNull())
         .select(
