@@ -847,6 +847,40 @@ def test_shortest_paths_dense_multi_source_matches_single(spark):
         assert multi == single, (r, wcol)
 
 
+def test_shortest_paths_dense_lane_autoswitch(spark):
+    """r6: the dense-lane layout is gated on expected frontier
+    saturation (n_sources * avg_deg^rounds / |V|): a dense small
+    graph saturates (dense lanes), a sparse wide one does not (long
+    format).  Both paths return identical results (tests above); this
+    pins the DECISION."""
+    from pyspark.sql import functions as SF
+
+    from motive_spark.kernels.sssp import _dense_lanes_pay
+
+    # 40 vertices, ~320 directed edges -> avg_deg ~8; 4 sources,
+    # 3 rounds: 4 * 8^3 / 40 = 51 >> 0.5 -> dense
+    dense_e = spark.createDataFrame(
+        [(s, (s + k) % 40, 1) for s in range(40) for k in range(1, 9)],
+        "src long, dst long, w long",
+    ).dropDuplicates(["src", "dst"])
+    assert _dense_lanes_pay(dense_e, 4, 3) is True
+
+    # 5000 vertices in a ring -> avg_deg 1 is excluded outright; use
+    # avg_deg 2 with 2 sources, 2 rounds: 2 * 2^2 / 5000 << 0.5 -> long
+    sparse_e = spark.range(5000).select(
+        SF.col("id").alias("src"),
+        ((SF.col("id") + 1) % 5000).alias("dst"),
+        SF.lit(1).alias("w"),
+    ).unionByName(
+        spark.range(5000).select(
+            SF.col("id").alias("src"),
+            ((SF.col("id") + 2) % 5000).alias("dst"),
+            SF.lit(1).alias("w"),
+        )
+    )
+    assert _dense_lanes_pay(sparse_e, 2, 2) is False
+
+
 def test_harmonic_centrality_known_graph(spark):
     """Star graph: the hub is one hop from every source, leaves are two
     hops from other leaves; exact integer-quantized contributions."""
